@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from visitron_tpu.testing import SyntheticWorld  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def world():
+    return SyntheticWorld(seed=7, num_scans=2, viewpoints_per_scan=24,
+                          scene_feat_dim=64, region_feat_dim=70)
+
+
+@pytest.fixture(scope="session")
+def big_world():
+    return SyntheticWorld(seed=11, num_scans=1, viewpoints_per_scan=40,
+                          scene_feat_dim=64, region_feat_dim=70)
