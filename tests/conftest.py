@@ -1,12 +1,20 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import."""
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The environment's sitecustomize registers the axon TPU backend and forces
+``jax_platforms``; overriding via ``jax.config.update`` after import wins,
+keeping the suite on host CPU with 8 virtual devices for sharding tests.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402,F401
 import pytest  # noqa: E402
 
 from visitron_tpu.testing import SyntheticWorld  # noqa: E402

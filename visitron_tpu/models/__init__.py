@@ -1,0 +1,25 @@
+from visitron_tpu.models.bert import BertConfig, VisitronBert, BertTextModel
+from visitron_tpu.models.pretrain import PretrainModel, pretrain_loss
+from visitron_tpu.models.encoder import OscarEncoder
+from visitron_tpu.models.decoder import (
+    SoftDotAttention,
+    AttnDecoderLSTM,
+    AttnDecoderLSTMwithClassifier,
+    TurnBasedDecoderLSTM,
+)
+from visitron_tpu.models.lstm import LSTM, lstm_cell_step
+
+__all__ = [
+    "BertConfig",
+    "VisitronBert",
+    "BertTextModel",
+    "PretrainModel",
+    "pretrain_loss",
+    "OscarEncoder",
+    "SoftDotAttention",
+    "AttnDecoderLSTM",
+    "AttnDecoderLSTMwithClassifier",
+    "TurnBasedDecoderLSTM",
+    "LSTM",
+    "lstm_cell_step",
+]

@@ -1,0 +1,254 @@
+"""Multimodal (Oscar-style) BERT in flax, with per-layer history-state support.
+
+Re-designed from the reference stack (oscar/modeling_bert.py:26-169 +
+tasks/viewpoint_select/encoder.py:161-303) for TPU:
+
+  * single fused QKV projection per layer (one MXU matmul instead of three);
+  * attention core routed through visitron_tpu.ops.attention (jnp/XLA-fused,
+    Pallas flash kernel for long joint sequences on TPU);
+  * bfloat16 activations with float32 parameters/softmax/layernorm;
+  * ``history_state``: per-layer states prepended to K/V only
+    (incremental-encoding mechanism, modeling_bert.py:37-41);
+  * image-region fusion: Linear(img_dim->H) + Linear(128->H) location embeds,
+    additive, dropped-out, concatenated after the text embeddings
+    (encoder.py:276-287).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from visitron_tpu.ops.attention import multi_head_attention
+from visitron_tpu.ops.masking import make_attention_bias
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    # Multimodal extensions (model_utils.py:75-83):
+    img_feature_dim: int = 2054
+    location_embed_dim: int = 128
+    use_img_layernorm: bool = False
+    action_space: int = 36
+    detector_classes: int = 1601
+    dtype: Any = jnp.float32  # activation dtype (bfloat16 on TPU)
+
+    def replace(self, **kw) -> "BertConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _dense(features, cfg: BertConfig, name=None, use_bias=True):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=cfg.dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+def _embed(num, cfg: BertConfig, name=None):
+    return nn.Embed(
+        num,
+        cfg.hidden_size,
+        dtype=cfg.dtype,
+        param_dtype=jnp.float32,
+        embedding_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+class BertEmbeddings(nn.Module):
+    cfg: BertConfig
+    word_embed: nn.Module | None = None  # shared with the tied MLM decoder
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None, deterministic=True):
+        cfg = self.cfg
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[1])[None, :]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        word_embed = self.word_embed
+        if word_embed is None:
+            word_embed = _embed(cfg.vocab_size, cfg, name="word_embeddings")
+        emb = word_embed(input_ids)
+        emb += _embed(cfg.max_position_embeddings, cfg, name="position_embeddings")(position_ids)
+        emb += _embed(cfg.type_vocab_size, cfg, name="token_type_embeddings")(token_type_ids)
+        emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(emb)
+        emb = nn.Dropout(cfg.hidden_dropout_prob)(emb, deterministic=deterministic)
+        return emb.astype(cfg.dtype)
+
+
+class BertSelfAttention(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, history_state=None, deterministic=True):
+        cfg = self.cfg
+        h, d = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
+        b, q_len, _ = hidden.shape
+        kv_in = hidden if history_state is None else jnp.concatenate([history_state, hidden], axis=1)
+        # Queries over the fresh tokens only; keys/values over history + fresh
+        # (modeling_bert.py:37-45). Fused QKV when there is no history.
+        if history_state is None:
+            qkv = _dense(3 * cfg.hidden_size, cfg, name="qkv")(hidden)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            qkv_dense = _dense(3 * cfg.hidden_size, cfg, name="qkv")
+            q = qkv_dense(hidden)[..., : cfg.hidden_size]
+            kv = qkv_dense(kv_in)[..., cfg.hidden_size :]
+            k, v = jnp.split(kv, 2, axis=-1)
+        split = lambda x: x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
+        ctx = multi_head_attention(
+            split(q), split(k), split(v), bias=bias,
+            dropout_rng=None if deterministic else self.make_rng("dropout"),
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            deterministic=deterministic,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, cfg.hidden_size)
+        return ctx.astype(cfg.dtype)
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, history_state=None, deterministic=True):
+        cfg = self.cfg
+        attn = BertSelfAttention(cfg, name="attention")(
+            hidden, bias, history_state, deterministic)
+        attn = _dense(cfg.hidden_size, cfg, name="attention_output")(attn)
+        attn = nn.Dropout(cfg.hidden_dropout_prob)(attn, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                              name="attention_layer_norm")(attn + hidden).astype(cfg.dtype)
+        inter = _dense(cfg.intermediate_size, cfg, name="intermediate")(hidden)
+        inter = nn.gelu(inter, approximate=False)
+        out = _dense(cfg.hidden_size, cfg, name="output")(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                              name="output_layer_norm")(out + hidden).astype(cfg.dtype)
+        return hidden
+
+
+class BertEncoder(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, history_states=None, deterministic=True):
+        for i in range(self.cfg.num_hidden_layers):
+            hs = None if history_states is None else history_states[i]
+            hidden = BertLayer(self.cfg, name=f"layer_{i}")(
+                hidden, bias, hs, deterministic)
+        return hidden
+
+
+class BertPooler(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        first = hidden[:, 0]
+        return nn.tanh(_dense(self.cfg.hidden_size, self.cfg, name="dense")(first))
+
+
+class VisitronBert(nn.Module):
+    """BertImgModelwithLocationEmbeds parity (encoder.py:161-303).
+
+    Joint sequence = [text tokens] ++ [projected image regions]; returns
+    (sequence_output, pooled_output).  ``attend_vocab`` exposes the transposed
+    word-embedding matmul for the tied MLM decoder (encoder.py:332-335).
+    """
+
+    cfg: BertConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.word_embeddings = _embed(cfg.vocab_size, cfg, name="word_embeddings")
+        self.embeddings = BertEmbeddings(cfg, word_embed=self.word_embeddings, name="embeddings")
+        self.encoder = BertEncoder(cfg, name="encoder")
+        self.pooler = BertPooler(cfg, name="pooler")
+        self.img_embedding = _dense(cfg.hidden_size, cfg, name="img_embedding")
+        self.location_embeds = _dense(cfg.hidden_size, cfg, name="location_embeds")
+        if cfg.use_img_layernorm:
+            self.img_layer_norm = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="img_layer_norm")
+        self.img_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def attend_vocab(self, x):
+        """(..., H) -> (..., vocab) logits against the tied word embeddings."""
+        return self.word_embeddings.attend(x.astype(self.cfg.dtype))
+
+    def __call__(
+        self,
+        input_ids,
+        token_type_ids=None,
+        attention_mask=None,
+        position_ids=None,
+        img_feats=None,
+        img_location_embeddings=None,
+        history_states=None,
+        deterministic=True,
+    ):
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        emb = self.embeddings(input_ids, token_type_ids, position_ids, deterministic)
+        if history_states is not None and img_feats is not None:
+            raise ValueError("cannot take image features while using encoder history states")
+        if img_feats is not None:
+            img = self.img_embedding(img_feats.astype(cfg.dtype))
+            img += self.location_embeds(img_location_embeddings.astype(cfg.dtype))
+            if cfg.use_img_layernorm:
+                img = self.img_layer_norm(img).astype(cfg.dtype)
+            img = self.img_dropout(img, deterministic=deterministic)
+            emb = jnp.concatenate([emb, img], axis=1)
+            assert attention_mask.shape[-1] == emb.shape[1], (
+                "attention_mask must cover text + image tokens")
+        key_len = emb.shape[1]
+        if history_states is not None:
+            key_len += history_states[0].shape[1]
+        if attention_mask.shape[-1] != key_len:
+            # Extend over prepended history (always visible).
+            pad = jnp.ones(
+                attention_mask.shape[:-1] + (key_len - attention_mask.shape[-1],),
+                attention_mask.dtype,
+            )
+            attention_mask = jnp.concatenate([pad, attention_mask], axis=-1)
+        bias = make_attention_bias(attention_mask)
+        seq = self.encoder(emb, bias, history_states, deterministic)
+        pooled = self.pooler(seq)
+        return seq, pooled
+
+
+class BertTextModel(nn.Module):
+    """Text-only view of VisitronBert (used by OscarEncoder); shares parameter
+    structure so checkpoints are interchangeable."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 position_ids=None, deterministic=True):
+        return VisitronBert(self.cfg, name="bert")(
+            input_ids,
+            token_type_ids=token_type_ids,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )

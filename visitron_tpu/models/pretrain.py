@@ -1,0 +1,112 @@
+"""Multi-objective pretraining model: MLM + next-action + region-token heads.
+
+PreTrainOscar parity (tasks/viewpoint_select/encoder.py:306-441):
+  * MLM head: dense+gelu+LayerNorm transform, decoder tied to the word
+    embeddings plus a free bias (encoder.py:322,332-335);
+  * next-action: Linear([CLS]) over the 36-view action space + stop slot
+    (encoder.py:142-158,317-319);
+  * region-token head: Linear over detector classes (encoder.py:323-326).
+
+Deviations (both documented): the reference feeds LogSoftmax/Softmax outputs
+into CrossEntropyLoss for the action/token heads (a double-normalization bug;
+argmax unchanged); we compute standard softmax cross-entropy on logits.  All
+losses use ignore-label -1, mean-reduced over non-ignored entries.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import optax
+
+from visitron_tpu.models.bert import BertConfig, VisitronBert, _dense
+
+
+def masked_cross_entropy(logits, labels, ignore_id: int = -1):
+    """Mean softmax CE over labels != ignore_id (CrossEntropyLoss parity)."""
+    valid = labels != ignore_id
+    safe = jnp.where(valid, labels, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), safe)
+    total = jnp.sum(ce * valid)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count, valid
+
+
+def masked_accuracy(logits, labels, ignore_id: int = -1):
+    valid = labels != ignore_id
+    pred = jnp.argmax(logits, axis=-1)
+    correct = jnp.sum((pred == labels) & valid)
+    return correct / jnp.maximum(jnp.sum(valid), 1)
+
+
+class PretrainModel(nn.Module):
+    cfg: BertConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.bert = VisitronBert(cfg, name="bert")
+        self.mlm_transform = _dense(cfg.hidden_size, cfg, name="mlm_transform")
+        self.mlm_layer_norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="mlm_layer_norm")
+        self.next_action = _dense(cfg.action_space, cfg, name="next_action")
+        self.token_head = _dense(cfg.detector_classes, cfg, name="token_head")
+        self.mlm_bias = self.param(
+            "mlm_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32)
+
+    def __call__(
+        self,
+        input_ids,
+        token_type_ids=None,
+        attention_mask=None,
+        img_feats=None,
+        img_location_embeddings=None,
+        deterministic=True,
+        text_only=False,
+    ):
+        seq, pooled = self.bert(
+            input_ids,
+            token_type_ids=token_type_ids,
+            attention_mask=attention_mask,
+            img_feats=img_feats,
+            img_location_embeddings=img_location_embeddings,
+            deterministic=deterministic,
+        )
+        if text_only:
+            return seq, pooled
+        x = self.mlm_transform(seq)
+        x = nn.gelu(x, approximate=False)
+        x = self.mlm_layer_norm(x)
+        mlm_logits = self.bert.attend_vocab(x).astype(jnp.float32) + self.mlm_bias
+        action_logits = self.next_action(pooled).astype(jnp.float32)
+        token_logits = self.token_head(seq).astype(jnp.float32)
+        return {
+            "sequence_output": seq,
+            "pooled_output": pooled,
+            "mlm_logits": mlm_logits,
+            "action_logits": action_logits,
+            "token_logits": token_logits,
+        }
+
+
+def pretrain_loss(outputs, labels, next_action=None, token_labels=None):
+    """Loss/metric bundle parity (encoder.py:379-441): returns a dict with
+    loss, mask/next/token losses and word/action/token accuracies."""
+    mlm_logits = outputs["mlm_logits"]
+    seq_len = mlm_logits.shape[1]
+    mask_loss, _ = masked_cross_entropy(mlm_logits, labels[:, :seq_len])
+    loss = mask_loss
+    out = {"mask_loss": mask_loss,
+           "words_accuracy": masked_accuracy(mlm_logits, labels[:, :seq_len])}
+    if next_action is not None:
+        next_loss, _ = masked_cross_entropy(outputs["action_logits"], next_action)
+        loss = loss + next_loss
+        out["next_loss"] = next_loss
+        out["action_accuracy"] = masked_accuracy(outputs["action_logits"], next_action)
+    if token_labels is not None:
+        token_loss, _ = masked_cross_entropy(outputs["token_logits"], token_labels[:, :seq_len])
+        loss = loss + token_loss
+        out["token_loss"] = token_loss
+        out["token_accuracy"] = masked_accuracy(outputs["token_logits"], token_labels[:, :seq_len])
+    out["loss"] = loss
+    return out

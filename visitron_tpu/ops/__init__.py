@@ -1,0 +1,4 @@
+from visitron_tpu.ops.attention import multi_head_attention
+from visitron_tpu.ops.masking import length2mask, make_attention_bias
+
+__all__ = ["multi_head_attention", "length2mask", "make_attention_bias"]

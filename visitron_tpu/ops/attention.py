@@ -1,0 +1,113 @@
+"""Scaled-dot-product multi-head attention core.
+
+Two interchangeable paths:
+  * ``multi_head_attention``: pure jnp einsum formulation — XLA fuses the
+    softmax chain into the matmuls; this is the correctness reference and the
+    CPU-test path.
+  * ``flash_attention``: a Pallas TPU kernel (blockwise online-softmax) used
+    for the 768-token joint text+region encoder when running on TPU with
+    supported shapes; falls back to the jnp path otherwise.
+
+Replaces the reference's unfused torch attention
+(oscar/modeling_bert.py:34-79).  Attention-probability dropout (which torch
+applies after softmax) is supported only on the jnp path; the TPU trainers use
+it for parity during training and may disable it for speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def multi_head_attention(q, k, v, bias=None, dropout_rng=None, dropout_rate: float = 0.0,
+                         deterministic: bool = True):
+    """q: (B, H, Q, D); k/v: (B, H, K, D); bias: broadcastable to (B, H, Q, K)."""
+    depth = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(depth, scores.dtype))
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (TPU).
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, sm_scale: float):
+    """One (batch*head, q-block) program: online softmax over K blocks."""
+    import jax.experimental.pallas as pl
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (Bq, D)
+    num_kb = k_ref.shape[1] // block_k
+
+    def loop_body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = pl.load(k_ref, (0, pl.ds(i * block_k, block_k), slice(None))).astype(jnp.float32)
+        v = pl.load(v_ref, (0, pl.ds(i * block_k, block_k), slice(None))).astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (Bq, Bk)
+        b = pl.load(bias_ref, (0, pl.ds(i * block_k, block_k)))
+        s = s + b[None, :].astype(jnp.float32)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_cur, l_cur
+
+    bq, d = q.shape
+    acc0 = jnp.zeros((bq, v_ref.shape[-1]), jnp.float32)
+    m0 = jnp.full((bq,), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, loop_body, (acc0, m0, l0))
+    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128):
+    """Pallas blockwise attention. ``key_bias``: (B, K) additive (0 / -inf-ish).
+
+    Shapes must tile: Q % block_q == 0, K % block_k == 0, D in {64, 128}.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, qs, d = q.shape
+    ks = k.shape[2]
+    sm_scale = 1.0 / (d ** 0.5)
+    qr = q.reshape(b * h, qs, d)
+    kr = k.reshape(b * h, ks, d)
+    vr = v.reshape(b * h, ks, d)
+    biasr = jnp.repeat(key_bias, h, axis=0)  # (B*H, K)
+
+    grid = (b * h, qs // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, ks), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, qs, d), q.dtype),
+    )(qr, kr, vr, biasr)
+    return out.reshape(b, h, qs, d)
+
+
+def attention_supports_flash(q_len: int, k_len: int, head_dim: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and q_len % 128 == 0
+        and k_len % 128 == 0
+        and head_dim in (64, 128)
+    )
