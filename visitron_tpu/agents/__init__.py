@@ -1,0 +1,4 @@
+from visitron_tpu.agents.runtime import NavRuntime
+from visitron_tpu.agents.viewpoint import ViewpointAgent
+
+__all__ = ["NavRuntime", "ViewpointAgent"]

@@ -1,0 +1,195 @@
+"""NavRuntime: the packed, device-resident world model for rollouts.
+
+The reference touches three host-side structures every rollout step — the C++
+simulator, a python candidate cache, and numpy feature dicts — and ships
+(B, 36, 2052) float features host->device per step (agent.py:186-228,
+data_loader.py:516-659).  NavRuntime packs everything into global arrays
+indexed by *viewpoint row* (scan-contiguous, shared with SceneFeatureTable):
+
+  feats    (R, 36, D)   scene features per view            [device]
+  count    (R,)         number of candidates               [device]
+  nbr      (R, K)       candidate target row (global), -1  [device]
+  point    (R, K)       candidate best-view index          [device]
+  heading  (R, K)       candidate absolute heading         [device]
+  elev     (R, K)       candidate absolute elevation       [device]
+  pano_af  (36, 36, 4)  per-base-view panorama angle table [device]
+  view_af  (36, 4)      camera angle feature by view       [device]
+
+With these, a navigation step is pure gathers + elementwise math, so:
+  * teacher-forced training rolls the whole episode in one ``lax.scan``
+    (zero host involvement);
+  * student-forced rollouts keep features on device and move only (B,) int32
+    action/viewpoint indices across the host boundary per step.
+
+Host-side helpers mirror the reference supervision exactly: the teacher
+action is the candidate whose viewpoint is the next hop on the shortest path
+to the goal, or the stop slot at the goal (data_loader.py:508-514,
+agent.py:230-251).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from visitron_tpu import geometry as geo
+from visitron_tpu.data.candidates import ScanCandidateTable, build_candidate_tables
+from visitron_tpu.data.features import SceneFeatureTable
+from visitron_tpu.graph import NavGraph
+
+
+@dataclass
+class NavRuntime:
+    graphs: dict[str, NavGraph]
+    feat_table: SceneFeatureTable
+    tables: dict[str, ScanCandidateTable]
+    max_candidates: int
+    # host copies
+    count_h: np.ndarray
+    nbr_h: np.ndarray
+    point_h: np.ndarray
+    nav_idx_h: np.ndarray
+    # device arrays
+    feats: jnp.ndarray
+    count: jnp.ndarray
+    nbr: jnp.ndarray
+    point: jnp.ndarray
+    heading: jnp.ndarray
+    elev: jnp.ndarray
+    pano_af: jnp.ndarray
+    view_af: jnp.ndarray
+
+    @classmethod
+    def build(cls, graphs: dict[str, NavGraph], feat_table: SceneFeatureTable,
+              hfov: float | None = None, max_candidates: int = 15,
+              tables: dict[str, ScanCandidateTable] | None = None,
+              device_dtype=jnp.float32) -> "NavRuntime":
+        if hfov is None:
+            hfov = geo.camera_hfov(feat_table.image_w, feat_table.image_h,
+                                   np.radians(feat_table.vfov))
+        if tables is None:
+            tables = build_candidate_tables(graphs, hfov, max_candidates)
+        total = feat_table.table.shape[0]
+        k = max_candidates
+        count = np.zeros(total, np.int32)
+        nbr = np.full((total, k), -1, np.int32)
+        point = np.zeros((total, k), np.int32)
+        nav_idx = np.zeros((total, k), np.int32)
+        heading = np.zeros((total, k), np.float32)
+        elev = np.zeros((total, k), np.float32)
+        for scan in sorted(graphs):
+            g = graphs[scan]
+            t = tables[scan]
+            off = feat_table.scan_offsets[scan]
+            rows = slice(off, off + g.num_viewpoints)
+            count[rows] = t.count
+            valid = t.nbr >= 0
+            nbr[rows] = np.where(valid, t.nbr + off, -1)
+            point[rows] = t.point
+            nav_idx[rows] = t.nav_idx
+            heading[rows] = t.heading
+            elev[rows] = t.elevation
+        return cls(
+            graphs=graphs,
+            feat_table=feat_table,
+            tables=tables,
+            max_candidates=k,
+            count_h=count,
+            nbr_h=nbr,
+            point_h=point,
+            nav_idx_h=nav_idx,
+            feats=jnp.asarray(feat_table.table, device_dtype),
+            count=jnp.asarray(count),
+            nbr=jnp.asarray(nbr),
+            point=jnp.asarray(point),
+            heading=jnp.asarray(heading),
+            elev=jnp.asarray(elev),
+            pano_af=jnp.asarray(geo.all_point_angle_feature(), device_dtype),
+            view_af=jnp.asarray(geo.point_angle_feature(0), device_dtype),
+        )
+
+    # ------------------------------------------------------------------ host
+    def row(self, scan: str, viewpoint: str) -> int:
+        return self.feat_table.row(scan, viewpoint)
+
+    def row_to_id(self, row: int) -> tuple[str, str]:
+        """Global row -> (scan, viewpointId)."""
+        for scan in sorted(self.graphs):
+            off = self.feat_table.scan_offsets[scan]
+            g = self.graphs[scan]
+            if off <= row < off + g.num_viewpoints:
+                return scan, g.viewpoints[row - off]
+        raise IndexError(row)
+
+    def start_state(self, scan: str, viewpoint: str, heading: float,
+                    elevation: float = 0.0) -> tuple[int, int]:
+        """(row, view_index) after new_episode snapping."""
+        return (
+            self.row(scan, viewpoint),
+            geo.view_of(geo.snap_heading(heading), geo.snap_elevation(elevation)),
+        )
+
+    def teacher_slot(self, scan: str, row: int, goal_row: int) -> int:
+        """Index of the teacher candidate: slot of the next-hop neighbor, or
+        ``count`` (the stop slot) at the goal (agent.py:237-251)."""
+        g = self.graphs[scan]
+        off = self.feat_table.scan_offsets[scan]
+        u, goal = row - off, goal_row - off
+        if u == goal:
+            return int(self.count_h[row])
+        nxt = int(g.next_hop[u, goal]) + off
+        slots = np.flatnonzero(self.nbr_h[row] == nxt)
+        assert len(slots) == 1, (scan, row, goal_row)
+        return int(slots[0])
+
+    def step_to(self, row: int, slot: int) -> tuple[int, int]:
+        """Apply candidate ``slot`` from ``row``: (new_row, new_view).
+
+        make_equiv_action parity (agent.py:278-321): the agent rotates onto
+        the candidate's pointId and moves; camera pose persists, so the new
+        view index is exactly the candidate's point.
+        """
+        new_row = int(self.nbr_h[row, slot])
+        new_view = int(self.point_h[row, slot])
+        assert new_row >= 0
+        return new_row, new_view
+
+    def teacher_rollout_arrays(self, scans: list[str], start_rows: np.ndarray,
+                               start_views: np.ndarray, goal_rows: np.ndarray,
+                               episode_len: int, ignore_id: int = -100):
+        """Precompute the full teacher-forced episode for a batch.
+
+        Returns dict of (B, T) int32 arrays: cur_row, view, teacher_slot
+        (ignore_id once ended), plus (B, T) active mask.  The rollout itself
+        (features, decoder, loss) then runs in one jitted scan.
+        """
+        b = len(start_rows)
+        t_len = episode_len
+        cur_row = np.zeros((b, t_len), np.int32)
+        view = np.zeros((b, t_len), np.int32)
+        teacher = np.full((b, t_len), ignore_id, np.int32)
+        active = np.zeros((b, t_len), bool)
+        for i in range(b):
+            row, v = int(start_rows[i]), int(start_views[i])
+            goal = int(goal_rows[i])
+            ended = False
+            for t in range(t_len):
+                cur_row[i, t] = row
+                view[i, t] = v
+                if ended:
+                    continue
+                slot = self.teacher_slot(scans[i], row, goal)
+                teacher[i, t] = slot
+                active[i, t] = True
+                if slot == int(self.count_h[row]):  # stop
+                    ended = True
+                else:
+                    row, v = self.step_to(row, slot)
+        return {
+            "cur_row": cur_row,
+            "view": view,
+            "teacher": teacher,
+            "active": active,
+        }

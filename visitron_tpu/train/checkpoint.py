@@ -1,0 +1,61 @@
+"""Checkpoint manager: orbax-backed, reference directory-layout parity.
+
+The reference writes ``checkpoint-{iter}`` directories with separate encoder/
+decoder state dicts + training args (train.py:151-163) or HF save_pretrained
+trees (pretrain.py:257-270); eval enumerates them by iteration
+(train.py:182-189).  We keep the ``checkpoint-{iter}`` naming with orbax
+StandardCheckpointer payloads (params + optimizer state + step + config),
+which adds what the reference lacked: exact training-state resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str):
+        self.output_dir = os.path.abspath(output_dir)
+        os.makedirs(self.output_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def path(self, step: int) -> str:
+        return os.path.join(self.output_dir, f"checkpoint-{step}")
+
+    def save(self, step: int, params, opt_state=None, extra: dict | None = None) -> str:
+        path = self.path(step)
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        self._ckpt.save(os.path.join(path, "state"), payload, force=True)
+        self._ckpt.wait_until_finished()
+        meta = {"step": step}
+        meta.update(extra or {})
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+        return path
+
+    def restore(self, step: int, template) -> dict:
+        """Restore into the structure of ``template`` ({"params": ..., ...})."""
+        target = jax.tree.map(np.asarray, template)
+        return self._ckpt.restore(os.path.join(self.path(step), "state"), target)
+
+    def steps(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.output_dir):
+            return out
+        for name in os.listdir(self.output_dir):
+            m = re.fullmatch(r"checkpoint-(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest(self) -> int | None:
+        steps = self.steps()
+        return steps[-1] if steps else None
