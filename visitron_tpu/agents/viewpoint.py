@@ -1,0 +1,329 @@
+"""Viewpoint-selection navigation agent (the NDH fine-tuning workload).
+
+Reference: tasks/viewpoint_select/agent.py:66-564.  The rollout engine is
+re-architected for TPU:
+
+  * Teacher forcing (the training path): the teacher trajectory is pure graph
+    math, precomputed on host as (B, T) int32 arrays (NavRuntime); the entire
+    episode — encoder, T decoder steps, per-step masked CE — runs in ONE
+    jitted function with a ``lax.scan`` over time, full BPTT (the reference's
+    ``detach_loss`` TBPTT hack, agent.py:447-472, is unnecessary: no
+    per-step host sync means no activation-memory blowup from python graphs).
+  * Student forcing (argmax/sample, used by val/test): encode once on device;
+    a jitted single-step function returns only the chosen action ids; the
+    host advances viewpoint/view indices with O(B) table lookups (no
+    simulator, no feature transfer).
+  * Candidate masking (agent.py:394-403), end handling (:429-445), the
+    ended-loss ignore (:230-251), and loss normalization by episode length
+    (:469-472) are preserved exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from visitron_tpu import geometry as geo
+from visitron_tpu.agents.runtime import NavRuntime
+from visitron_tpu.models import AttnDecoderLSTM, BertConfig, OscarEncoder
+from visitron_tpu.ops.masking import NEG_INF
+from visitron_tpu.train.optim import agent_optimizer
+
+IGNORE_ID = -100
+
+
+def gather_step_inputs(rt: NavRuntime, cur_row, view, feats=None):
+    """Device-side assembly of one step's decoder inputs from packed tables.
+
+    cur_row, view: (B,) int32.  Returns (a_t (B,4), f_t (B,36,D+4),
+    cand_feat (B,K+1,D+4), cand_mask (B,K+1) True at invalid slots).
+    """
+    feats = rt.feats if feats is None else feats
+    pano = feats[cur_row]  # (B, 36, D)
+    f_t = jnp.concatenate([pano, rt.pano_af[view]], axis=-1)
+    a_t = rt.view_af[view]  # (B, 4) camera angle feature
+    pts = rt.point[cur_row]  # (B, K)
+    cand_vis = jnp.take_along_axis(pano, pts[:, :, None], axis=1)  # (B, K, D)
+    base_heading = (view % geo.HEADINGS_PER_ROW).astype(f_t.dtype) * geo.ANGLE_INC
+    ch = rt.heading[cur_row] - base_heading[:, None]
+    ce = rt.elev[cur_row]
+    cand_af = jnp.stack([jnp.sin(ch), jnp.cos(ch), jnp.sin(ce), jnp.cos(ce)], axis=-1)
+    cand = jnp.concatenate([cand_vis, cand_af.astype(f_t.dtype)], axis=-1)
+    # Stop slot (zero feature) appended; slots beyond count+stop are masked
+    # (agent.py:202-217, utils.py:340-347).
+    stop = jnp.zeros((cand.shape[0], 1, cand.shape[2]), cand.dtype)
+    cand_feat = jnp.concatenate([cand, stop], axis=1)  # (B, K+1, D+4)
+    k1 = cand_feat.shape[1]
+    counts = rt.count[cur_row]
+    cand_mask = jnp.arange(k1)[None, :] > counts[:, None]
+    return a_t, f_t, cand_feat, cand_mask
+
+
+@dataclass
+class ViewpointAgent:
+    cfg: BertConfig
+    runtime: NavRuntime
+    feature_dim: int  # scene feature dim D (without angle feat)
+    episode_len: int = 10
+    angle_feat_size: int = 4
+    aemb: int = 64
+    rnn_dim: int = 512
+    encoder_hidden_size: int = 512
+    dropout: float = 0.5
+    learning_rate: float = 5e-5
+    optimizer_kind: str = "adam"
+    max_grad_norm: float = 40.0
+    seed: int = 88
+    max_seq_length: int = 512
+
+    def __post_init__(self):
+        self.encoder = OscarEncoder(
+            self.cfg,
+            hidden_size=self.encoder_hidden_size,
+            decoder_hidden_size=self.rnn_dim,
+            dropout_ratio=self.dropout,
+        )
+        self.decoder = AttnDecoderLSTM(
+            angle_feat_size=self.angle_feat_size,
+            embedding_size=self.aemb,
+            hidden_size=self.rnn_dim,
+            dropout_ratio=self.dropout,
+            feature_size=self.feature_dim + self.angle_feat_size,
+        )
+        self.optimizer = agent_optimizer(
+            self.learning_rate, self.optimizer_kind, self.max_grad_norm)
+        self._train_step = None
+        self._encode = {}
+        self._student_step = {}
+        self.losses: list[float] = []
+        self.results: dict = {}
+
+    # -- parameter init ------------------------------------------------------
+    def init_state(self) -> dict:
+        rng = jax.random.PRNGKey(self.seed)
+        r1, r2 = jax.random.split(rng)
+        s = self.max_seq_length
+        ids = jnp.ones((1, s), jnp.int32)
+        lengths = jnp.array([s])
+        enc_params = self.encoder.init(r1, ids, lengths)
+        d = self.feature_dim + self.angle_feat_size
+        k1 = self.runtime.max_candidates + 1
+        dec_params = self.decoder.init(
+            r2,
+            jnp.zeros((1, self.angle_feat_size)),
+            jnp.zeros((1, geo.NUM_VIEWS, d)),
+            jnp.zeros((1, k1, d)),
+            jnp.zeros((1, self.rnn_dim)),
+            jnp.zeros((1, self.rnn_dim)),
+            jnp.zeros((1, s, self.encoder_hidden_size)),
+        )
+        params = {"encoder": enc_params, "decoder": dec_params}
+        return {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "rng": jax.random.PRNGKey(self.seed + 1),
+        }
+
+    # -- shared pieces ---------------------------------------------------------
+    def _encode_fn(self, deterministic: bool):
+        if deterministic not in self._encode:
+            @jax.jit
+            def encode(enc_params, ids, segs, lengths, rng):
+                return self.encoder.apply(
+                    enc_params, ids, lengths, token_type_ids=segs,
+                    deterministic=deterministic,
+                    rngs=None if deterministic else {"dropout": rng},
+                )
+            self._encode[deterministic] = encode
+        return self._encode[deterministic]
+
+    def _episode_loss(self, params, batch, rng, deterministic):
+        """Encoder + scanned teacher-forced decode; returns mean loss."""
+        rt = self.runtime
+        ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
+        rng, enc_rng = jax.random.split(rng)
+        ctx, h_t, c_t = self.encoder.apply(
+            params["encoder"], ids, lengths, token_type_ids=segs,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": enc_rng},
+        )
+        t_len = batch["cur_row"].shape[1]
+        ctx_mask = jnp.arange(ids.shape[1])[None, :] >= lengths[:, None]
+        step_rngs = jax.random.split(rng, t_len)
+
+        def step(carry, xs):
+            h1, c = carry
+            cur_row, view, teacher, active, step_rng = xs
+            a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
+            h_new, c_new, logit, h_tilde = self.decoder.apply(
+                params["decoder"], a_t, f_t, cand_feat, h1, c, ctx, ctx_mask,
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": step_rng},
+            )
+            logit = jnp.where(cand_mask, NEG_INF, logit)
+            safe = jnp.where(active, teacher, 0)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logit.astype(jnp.float32), safe)
+            # Per-step mean over non-ignored batch items (CrossEntropyLoss
+            # ignore_index parity, agent.py:406-412).
+            n = jnp.maximum(jnp.sum(active), 1)
+            step_loss = jnp.sum(ce * active) / n
+            return (h_tilde, c_new), step_loss
+
+        xs = (
+            batch["cur_row"].T, batch["view"].T, batch["teacher"].T,
+            batch["active"].T.astype(jnp.float32), step_rngs,
+        )
+        (_, _), step_losses = jax.lax.scan(step, (h_t, c_t), xs)
+        return jnp.sum(step_losses) / t_len  # agent.py:472
+
+    def train_step_fn(self):
+        if self._train_step is not None:
+            return self._train_step
+
+        @jax.jit
+        def train_step(state, batch):
+            rng, step_rng = jax.random.split(state["rng"])
+
+            def loss_fn(p):
+                return self._episode_loss(p, batch, step_rng, deterministic=False)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state, "rng": rng}, loss
+
+        self._train_step = train_step
+        return train_step
+
+    def eval_loss_fn(self, use_dropout: bool = False):
+        """Validation loss with teacher forcing (test(use_dropout=True,
+        feedback='teacher', allow_cheat=True) parity, train.py:318-320)."""
+        @jax.jit
+        def eval_loss(params, batch, rng):
+            return self._episode_loss(params, batch, rng, deterministic=not use_dropout)
+        return eval_loss
+
+    # -- student-forced rollout --------------------------------------------------
+    def _student_step_fn(self, feedback: str, deterministic: bool):
+        key = (feedback, deterministic)
+        if key in self._student_step:
+            return self._student_step[key]
+        rt = self.runtime
+
+        @jax.jit
+        def step(dec_params, h1, c, ctx, ctx_mask, cur_row, view, visited_mask, rng):
+            a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
+            dropout_rng, sample_rng = jax.random.split(rng)
+            h_new, c_new, logit, h_tilde = self.decoder.apply(
+                dec_params, a_t, f_t, cand_feat, h1, c, ctx, ctx_mask,
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": dropout_rng},
+            )
+            logit = jnp.where(cand_mask | visited_mask, NEG_INF, logit)
+            if feedback == "argmax":
+                a = jnp.argmax(logit, axis=-1)
+            elif feedback == "sample":
+                a = jax.random.categorical(sample_rng, logit.astype(jnp.float32))
+            else:
+                raise ValueError(feedback)
+            return a.astype(jnp.int32), h_tilde, c_new, logit
+
+        self._student_step[key] = step
+        return step
+
+    def rollout_student(self, params, batch, feedback: str = "argmax",
+                        use_dropout: bool = False, rng=None, submit: bool = False):
+        """Run a full student-forced episode; returns trajectories.
+
+        batch: ids/segs/lengths (host arrays) + scans, start_rows, start_views,
+        inst_idx.  Trajectory format parity: [(viewpointId, heading, elevation)]
+        starting at the start pose (agent.py:358-365,429-445).
+        """
+        rt = self.runtime
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        encode = self._encode_fn(not use_dropout)
+        rng, enc_rng = jax.random.split(rng)
+        ctx, h_t, c_t = encode(params["encoder"], jnp.asarray(batch["ids"]),
+                               jnp.asarray(batch["segs"]), jnp.asarray(batch["lengths"]),
+                               enc_rng)
+        ctx_mask = np.arange(batch["ids"].shape[1])[None, :] >= batch["lengths"][:, None]
+        step_fn = self._student_step_fn(feedback, not use_dropout)
+
+        b = len(batch["scans"])
+        rows = np.asarray(batch["start_rows"], np.int32).copy()
+        views = np.asarray(batch["start_views"], np.int32).copy()
+        ended = np.zeros(b, bool)
+        k1 = rt.max_candidates + 1
+        visited_rows = [set([int(r)]) for r in rows]
+        traj = []
+        for i in range(b):
+            scan, vp = rt.row_to_id(int(rows[i]))
+            traj.append({
+                "inst_idx": batch["inst_idx"][i],
+                "path": [(vp, geo.heading_of_view(int(views[i])),
+                          geo.elevation_of_view(int(views[i])))],
+            })
+        h1, c = h_t, c_t
+        ctx_mask_j = jnp.asarray(ctx_mask)
+        for _ in range(self.episode_len):
+            visited_mask = np.zeros((b, k1), bool)
+            if submit:  # avoid cyclic paths (agent.py:397-402)
+                for i in range(b):
+                    cand_rows = rt.nbr_h[rows[i]]
+                    for slot in range(rt.max_candidates):
+                        if cand_rows[slot] in visited_rows[i]:
+                            visited_mask[i, slot] = True
+            rng, step_rng = jax.random.split(rng)
+            a, h1, c, _ = step_fn(
+                params["decoder"], h1, c, ctx, ctx_mask_j,
+                jnp.asarray(rows), jnp.asarray(views), jnp.asarray(visited_mask),
+                step_rng)
+            a = np.asarray(a)
+            for i in range(b):
+                if ended[i]:
+                    continue
+                if a[i] >= rt.count_h[rows[i]]:  # stop slot
+                    ended[i] = True
+                    continue
+                rows[i], views[i] = rt.step_to(int(rows[i]), int(a[i]))
+                visited_rows[i].add(int(rows[i]))
+                scan, vp = rt.row_to_id(int(rows[i]))
+                traj[i]["path"].append(
+                    (vp, geo.heading_of_view(int(views[i])),
+                     geo.elevation_of_view(int(views[i]))))
+            if ended.all():
+                break
+        return traj
+
+    # -- test loop (loop-until-repeat parity, agent.py:49-63) ---------------------
+    def test(self, params, batches, feedback: str = "argmax", rng=None,
+             submit: bool = False) -> dict:
+        self.results = {}
+        looped = False
+        rng = rng if rng is not None else jax.random.PRNGKey(1)
+        for batch in batches:
+            rng, r = jax.random.split(rng)
+            for traj in self.rollout_student(params, batch, feedback=feedback,
+                                             rng=r, submit=submit):
+                if traj["inst_idx"] in self.results:
+                    looped = True
+                else:
+                    self.results[traj["inst_idx"]] = traj["path"]
+            if looped:
+                break
+        return self.results
+
+    def write_results(self, path: str) -> None:
+        import json
+
+        output = [{"inst_idx": k, "trajectory": v} for k, v in self.results.items()]
+        with open(path, "w") as f:
+            json.dump(output, f)

@@ -54,13 +54,13 @@ class SyntheticWorld:
         self.scans = [f"scan{j:02d}" for j in range(num_scans)]
         self.connectivity: dict[str, list[dict]] = {}
         self.graphs: dict[str, NavGraph] = {}
-        for scan in self.scans:
-            entries = self._make_connectivity(viewpoints_per_scan, mean_degree)
+        for si, scan in enumerate(self.scans):
+            entries = self._make_connectivity(viewpoints_per_scan, mean_degree, si)
             self.connectivity[scan] = entries
             self.graphs[scan] = NavGraph.from_connectivity(scan, entries)
 
     # -- graphs --------------------------------------------------------------
-    def _make_connectivity(self, n: int, mean_degree: float) -> list[dict]:
+    def _make_connectivity(self, n: int, mean_degree: float, scan_index: int = 0) -> list[dict]:
         # Random positions in a ~25m x 25m floor; spanning tree + extra edges.
         pos = np.zeros((n, 3))
         pos[:, 0] = self.rng.uniform(0, 25, n)
@@ -84,7 +84,7 @@ class SyntheticWorld:
             v = int(self.rng.choice(near))
             adj[u, v] = adj[v, u] = True
         entries = []
-        ids = [self._vp_id(i) for i in range(n)]
+        ids = [self._vp_id(scan_index * 100000 + i) for i in range(n)]
         for i in range(n):
             entries.append(
                 {
