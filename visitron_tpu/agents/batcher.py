@@ -69,6 +69,14 @@ class NavEpisodeBatcher:
                 batch["goal_rows"], episode_len))
         return batch
 
+    def with_turn_teacher(self, batch: dict, episode_len: int) -> dict:
+        batch = dict(batch)
+        batch.update(
+            self.runtime.turn_based_rollout_arrays(
+                batch["scans"], batch["start_rows"], batch["start_views"],
+                batch["goal_rows"], episode_len))
+        return batch
+
     def train_batches(self, num_batches: int, episode_len: int | None = None):
         """Infinite-style epoch-shuffled iterator; every batch full-size."""
         order: list[int] = []

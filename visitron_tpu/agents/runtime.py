@@ -51,6 +51,8 @@ class NavRuntime:
     nbr_h: np.ndarray
     point_h: np.ndarray
     nav_idx_h: np.ndarray
+    heading_h: np.ndarray
+    elev_h: np.ndarray
     # device arrays
     feats: jnp.ndarray
     count: jnp.ndarray
@@ -100,6 +102,8 @@ class NavRuntime:
             nbr_h=nbr,
             point_h=point,
             nav_idx_h=nav_idx,
+            heading_h=heading,
+            elev_h=elev,
             feats=jnp.asarray(feat_table.table, device_dtype),
             count=jnp.asarray(count),
             nbr=jnp.asarray(nbr),
@@ -155,6 +159,110 @@ class NavRuntime:
         new_view = int(self.point_h[row, slot])
         assert new_row >= 0
         return new_row, new_view
+
+    # ---------------------------------------------------------- turn-based
+    def navigable_at(self, row: int, view: int) -> list[tuple[int, float, float]]:
+        """Ordered (neighbor_row, rel_heading, rel_elevation) visible from
+        (row, view) — simulator navigableLocations[1:] parity."""
+        hfov = geo.camera_hfov(self.feat_table.image_w, self.feat_table.image_h,
+                               np.radians(self.feat_table.vfov))
+        cam_h = geo.heading_of_view(view)
+        cam_e = geo.elevation_of_view(view)
+        n = int(self.count_h[row])
+        rel_h = geo.normalize_angle(self.heading_h[row, :n] - cam_h)
+        rel_e = self.elev_h[row, :n] - cam_e
+        vis = np.abs(rel_h) <= hfov / 2.0 + 1e-9
+        order = np.flatnonzero(vis)
+        ang = np.sqrt(rel_h[order] ** 2 + rel_e[order] ** 2)
+        order = order[np.argsort(ang, kind="stable")]
+        return [(int(self.nbr_h[row, s]), float(rel_h[s]), float(rel_e[s])) for s in order]
+
+    def turn_based_teacher(self, scan: str, row: int, view: int, goal_row: int) -> int:
+        """Low-level teacher action id (model_actions order: left, right, up,
+        down, forward, <end>) — parity with
+        tasks/turn_based/data_loader.py:509-546 + agent.py:212-232."""
+        LEFT, RIGHT, UP, DOWN, FORWARD, END = range(6)
+        if row == goal_row:
+            return END
+        g = self.graphs[scan]
+        off = self.feat_table.scan_offsets[scan]
+        nxt = int(g.next_hop[row - off, goal_row - off]) + off
+        nav = self.navigable_at(row, view)
+        for i, (nbr_row, rel_h, rel_e) in enumerate(nav):
+            if nbr_row == nxt:
+                if rel_h > np.pi / 6.0:
+                    return RIGHT
+                if rel_h < -np.pi / 6.0:
+                    return LEFT
+                if rel_e > np.pi / 6.0 and view // 12 < 2:
+                    return UP
+                if rel_e < -np.pi / 6.0 and view // 12 > 0:
+                    return DOWN
+                return FORWARD
+        # Not visible: neutralize elevation, else turn the shorter way.
+        if view // 12 == 0:
+            return UP
+        if view // 12 == 2:
+            return DOWN
+        slot = int(np.flatnonzero(self.nbr_h[row] == nxt)[0])
+        target_heading = float(self.heading_h[row, slot]) % (2 * np.pi)
+        heading = geo.heading_of_view(view)
+        if heading > target_heading and heading - target_heading < np.pi:
+            return LEFT
+        if target_heading > heading and target_heading - heading > np.pi:
+            return LEFT
+        return RIGHT
+
+    def apply_turn_action(self, row: int, view: int, action: int) -> tuple[int, int]:
+        """Apply a low-level action id; returns (row, view).  forward moves to
+        the first (most-centered) navigable location, matching the reference
+        agent which can only pick 'the one in the middle' (agent.py:67)."""
+        LEFT, RIGHT, UP, DOWN, FORWARD, END = range(6)
+        hstep, erow = view % 12, view // 12
+        if action == LEFT:
+            hstep = (hstep - 1) % 12
+        elif action == RIGHT:
+            hstep = (hstep + 1) % 12
+        elif action == UP:
+            erow = min(erow + 1, 2)
+        elif action == DOWN:
+            erow = max(erow - 1, 0)
+        elif action == FORWARD:
+            nav = self.navigable_at(row, view)
+            if nav:
+                row = nav[0][0]
+        return row, erow * 12 + hstep
+
+    def turn_based_rollout_arrays(self, scans: list[str], start_rows, start_views,
+                                  goal_rows, episode_len: int, ignore_id: int = -100):
+        """Precompute a teacher-forced low-level episode: (B, T) cur_row, view,
+        teacher action ids, forward-allowed flags, active mask."""
+        b = len(start_rows)
+        cur_row = np.zeros((b, episode_len), np.int32)
+        view = np.zeros((b, episode_len), np.int32)
+        teacher = np.full((b, episode_len), ignore_id, np.int32)
+        fwd_ok = np.zeros((b, episode_len), bool)
+        active = np.zeros((b, episode_len), bool)
+        END = 5
+        for i in range(b):
+            row, v = int(start_rows[i]), int(start_views[i])
+            goal = int(goal_rows[i])
+            ended = False
+            for t in range(episode_len):
+                cur_row[i, t] = row
+                view[i, t] = v
+                fwd_ok[i, t] = len(self.navigable_at(row, v)) > 0
+                if ended:
+                    continue
+                a = self.turn_based_teacher(scans[i], row, v, goal)
+                teacher[i, t] = a
+                active[i, t] = True
+                if a == END:
+                    ended = True
+                else:
+                    row, v = self.apply_turn_action(row, v, a)
+        return {"cur_row": cur_row, "view": view, "teacher": teacher,
+                "fwd_ok": fwd_ok, "active": active}
 
     def teacher_rollout_arrays(self, scans: list[str], start_rows: np.ndarray,
                                start_views: np.ndarray, goal_rows: np.ndarray,

@@ -106,23 +106,30 @@ class ViewpointAgent:
     # -- parameter init ------------------------------------------------------
     def init_state(self) -> dict:
         rng = jax.random.PRNGKey(self.seed)
-        r1, r2 = jax.random.split(rng)
         s = self.max_seq_length
-        ids = jnp.ones((1, s), jnp.int32)
-        lengths = jnp.array([s])
-        enc_params = self.encoder.init(r1, ids, lengths)
         d = self.feature_dim + self.angle_feat_size
         k1 = self.runtime.max_candidates + 1
-        dec_params = self.decoder.init(
-            r2,
-            jnp.zeros((1, self.angle_feat_size)),
-            jnp.zeros((1, geo.NUM_VIEWS, d)),
-            jnp.zeros((1, k1, d)),
-            jnp.zeros((1, self.rnn_dim)),
-            jnp.zeros((1, self.rnn_dim)),
-            jnp.zeros((1, s, self.encoder_hidden_size)),
-        )
-        params = {"encoder": enc_params, "decoder": dec_params}
+
+        # Jitted init: one compiled program instead of thousands of eager ops
+        # (critical on remote-attached TPUs where eager dispatch is a RPC).
+        @jax.jit
+        def init(rng):
+            r1, r2 = jax.random.split(rng)
+            ids = jnp.ones((1, s), jnp.int32)
+            lengths = jnp.array([s])
+            enc_params = self.encoder.init(r1, ids, lengths)
+            dec_params = self.decoder.init(
+                r2,
+                jnp.zeros((1, self.angle_feat_size)),
+                jnp.zeros((1, geo.NUM_VIEWS, d)),
+                jnp.zeros((1, k1, d)),
+                jnp.zeros((1, self.rnn_dim)),
+                jnp.zeros((1, self.rnn_dim)),
+                jnp.zeros((1, s, self.encoder_hidden_size)),
+            )
+            return {"encoder": enc_params, "decoder": dec_params}
+
+        params = init(rng)
         return {
             "params": params,
             "opt_state": self.optimizer.init(params),

@@ -51,15 +51,20 @@ class PretrainTrainer:
     # -- initialization ------------------------------------------------------
     def init_state(self, sample_batch) -> dict:
         rng = jax.random.PRNGKey(self.seed)
-        params = self.model.init(
-            rng,
-            jnp.asarray(sample_batch["input_ids"][:1]),
-            token_type_ids=jnp.asarray(sample_batch["token_type_ids"][:1]),
-            attention_mask=jnp.asarray(sample_batch["attention_mask"][:1]),
-            img_feats=jnp.asarray(sample_batch["img_feats"][:1]),
-            img_location_embeddings=jnp.asarray(sample_batch["img_location_embeddings"][:1]),
-        )
-        opt_state = self.optimizer.init(params)
+
+        @jax.jit
+        def init(rng):
+            params = self.model.init(
+                rng,
+                jnp.asarray(sample_batch["input_ids"][:1]),
+                token_type_ids=jnp.asarray(sample_batch["token_type_ids"][:1]),
+                attention_mask=jnp.asarray(sample_batch["attention_mask"][:1]),
+                img_feats=jnp.asarray(sample_batch["img_feats"][:1]),
+                img_location_embeddings=jnp.asarray(sample_batch["img_location_embeddings"][:1]),
+            )
+            return params, self.optimizer.init(params)
+
+        params, opt_state = init(rng)
         rep = replicated_sharding(self.mesh)
         state = {
             "params": jax.device_put(params, rep),
@@ -90,12 +95,10 @@ class PretrainTrainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
 
-        @functools.partial(
-            jax.jit,
-            in_shardings=(rep, None),
-            out_shardings=rep,
-            donate_argnums=(0,),
-        )
+        # Shardings are inferred from the arguments: init_state places params
+        # replicated; dryrun/tensor-parallel callers may re-place them with
+        # shard_params_rules and the same step function still applies.
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, batch):
             rng, dropout_rng = jax.random.split(state["rng"])
             (_, bundle), grads = jax.value_and_grad(
