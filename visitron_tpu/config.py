@@ -1,0 +1,128 @@
+"""Unified run configuration with a reference-compatible flag surface.
+
+Replaces the per-task argparse singletons (tasks/viewpoint_select/params.py,
+tasks/turn_based/params.py) and the 37 run shell scripts with one dataclass
+parseable from CLI flags; flag names match the reference so existing run
+commands translate directly.  Derived values (episode length from path_type,
+train batch = per-device x n-devices) follow train.py:551-554,65.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RunConfig:
+    # paths / data
+    data_root: str = "srv/task_data"
+    connectivity_dir: str = "connectivity"
+    img_feat_dir: str = "srv/img_features"
+    img_feature_file: str = ""
+    region_feature_prefix: str = ""
+    model_name_or_path: str = ""       # pretrained Oscar weights (torch/HF dir)
+    output_dir: str = "output"
+    vocab_file: str = ""
+
+    # model dims (params.py:132-179)
+    max_seq_length: int = 512
+    max_img_seq_length: int = 256
+    angle_feat_size: int = 4
+    views: int = 36
+    action_space: int = 36
+    img_feature_dim: int = 2054
+    lstm_img_feature_dim: int = 2048
+    encoder_hidden_size: int = 512
+    rnn_dim: int = 512
+    aemb: int = 64
+    wemb: int = 256
+    bidir: bool = False
+    detector_classes: int = 1601
+
+    # task flags
+    path_type: str = "trusted_path"    # planner_path | player_path | trusted_path
+    feedback_method: str = "sample"
+    add_ndh_data: bool = True
+    add_r2r_data: bool = False
+    add_r4r_data: bool = False
+    add_rxr_data: bool = False
+    oscar_setting: bool = False
+    tar_back: bool = False
+    masked_token_prediction: bool = False
+    no_action_grounding: bool = False
+    no_pretrained_model: bool = False
+    only_finetune_classifier: bool = False
+    question_asking_class_weight: float = 5.0
+    blind: bool = False
+    submit: bool = False
+
+    # optimization (params.py:251-307)
+    per_gpu_train_batch_size: int = 8
+    per_gpu_eval_batch_size: int = 8
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.0
+    adam_epsilon: float = 1e-8
+    scheduler: str = "linear"
+    max_grad_norm: float = 1.0
+    agent_max_grad_norm: float = 40.0
+    num_iterations: int = 20000
+    num_epochs: int = 10
+    warmup_steps: int = 0
+    drop_out: float = 0.1              # BERT dropout
+    dropout: float = 0.5               # agent dropout
+    mlm_probability: float = 0.15
+    ignoreid: int = -100
+
+    # bookkeeping
+    logging_steps: int = 50
+    saving_steps: int = 1000
+    eval_iters: list[int] = field(default_factory=lambda: [-1])
+    seed: int = 88
+    debug: bool = False
+
+    # hardware
+    mesh_dp: int = 0                   # 0 => all devices
+    mesh_tp: int = 1
+    use_bfloat16: bool = True
+
+    @property
+    def episode_len(self) -> int:
+        # train.py:551-554: 10 with planner supervision, 40 otherwise.
+        return 10 if self.path_type == "planner_path" else 40
+
+    def train_batch_size(self, num_devices: int) -> int:
+        return self.per_gpu_train_batch_size * num_devices
+
+    # -- (de)serialization -------------------------------------------------
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def from_json(cls, path: str) -> "RunConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    @classmethod
+    def parser(cls) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(description="visitron-tpu run config")
+        for f in dataclasses.fields(cls):
+            flag = "--" + f.name
+            default = f.default if f.default is not dataclasses.MISSING else None
+            if f.type == "bool" or isinstance(default, bool):
+                p.add_argument(flag, action="store_true", default=default)
+                p.add_argument("--no_" + f.name, dest=f.name, action="store_false")
+            elif f.name == "eval_iters":
+                p.add_argument(flag, nargs="+", type=int, default=[-1])
+            else:
+                typ = type(default) if default is not None else str
+                p.add_argument(flag, type=typ, default=default)
+        return p
+
+    @classmethod
+    def from_args(cls, argv=None) -> "RunConfig":
+        ns = cls.parser().parse_args(argv)
+        return cls(**vars(ns))

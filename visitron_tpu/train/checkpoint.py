@@ -29,11 +29,12 @@ class CheckpointManager:
         return os.path.join(self.output_dir, f"checkpoint-{step}")
 
     def save(self, step: int, params, opt_state=None, extra: dict | None = None) -> str:
+        """Each component is a separate orbax payload so callers can restore
+        parameters without the optimizer state (eval paths)."""
         path = self.path(step)
-        payload = {"params": params}
+        self._ckpt.save(os.path.join(path, "params"), params, force=True)
         if opt_state is not None:
-            payload["opt_state"] = opt_state
-        self._ckpt.save(os.path.join(path, "state"), payload, force=True)
+            self._ckpt.save(os.path.join(path, "opt_state"), opt_state, force=True)
         self._ckpt.wait_until_finished()
         meta = {"step": step}
         meta.update(extra or {})
@@ -42,9 +43,14 @@ class CheckpointManager:
         return path
 
     def restore(self, step: int, template) -> dict:
-        """Restore into the structure of ``template`` ({"params": ..., ...})."""
-        target = jax.tree.map(np.asarray, template)
-        return self._ckpt.restore(os.path.join(self.path(step), "state"), target)
+        """Restore components named by ``template`` keys ("params",
+        "opt_state") into their structures."""
+        out = {}
+        for name, tmpl in template.items():
+            target = jax.tree.map(np.asarray, tmpl)
+            out[name] = self._ckpt.restore(
+                os.path.join(self.path(step), name), target)
+        return out
 
     def steps(self) -> list[int]:
         out = []

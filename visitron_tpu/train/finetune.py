@@ -1,0 +1,147 @@
+"""Viewpoint fine-tuning trainer + validation (reference train.py parity).
+
+train(): iterate jitted teacher-forced train steps over shuffled episode
+batches, log losses, checkpoint every saving_steps (train.py:120-173).
+
+val(): per checkpoint — (a) teacher-forced loss pass with dropout
+(allow_cheat parity, train.py:318-320), (b) argmax student rollout over each
+val split, scored by the Evaluator (train.py:326-348); predictions JSON is
+written in the EvalAI submission format.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from visitron_tpu.agents import ViewpointAgent
+from visitron_tpu.agents.batcher import NavEpisodeBatcher
+from visitron_tpu.config import RunConfig
+from visitron_tpu.data.datasets import build_nav_instances
+from visitron_tpu.evaluation import Evaluator
+from visitron_tpu.train.checkpoint import CheckpointManager
+from visitron_tpu.train.logging import MetricsLogger, setup_logger
+from visitron_tpu.train.workspace import Workspace
+
+
+@dataclass
+class ViewpointTrainer:
+    cfg: RunConfig
+    ws: Workspace
+
+    def __post_init__(self):
+        self.logger = setup_logger(output_dir=self.cfg.output_dir)
+        self.agent = ViewpointAgent(
+            self.ws.bert_config,
+            self.ws.runtime,
+            feature_dim=self.cfg.lstm_img_feature_dim,
+            episode_len=self.cfg.episode_len,
+            aemb=self.cfg.aemb,
+            rnn_dim=self.cfg.rnn_dim,
+            encoder_hidden_size=self.cfg.encoder_hidden_size,
+            dropout=self.cfg.dropout,
+            learning_rate=self.cfg.learning_rate,
+            max_grad_norm=self.cfg.agent_max_grad_norm,
+            seed=self.cfg.seed,
+            max_seq_length=self.cfg.max_seq_length,
+        )
+        self.ckpt = CheckpointManager(self.cfg.output_dir)
+
+    def _instances(self, splits):
+        if self.ws.synthetic is not None:
+            import tempfile
+
+            d = getattr(self.ws, "_synth_root", None)
+            if d is None:
+                d = tempfile.mkdtemp(prefix="visitron_synth_")
+                self.ws.synthetic.write_task_data(d)
+                self.ws._synth_root = d
+            root = d
+        else:
+            root = self.cfg.data_root
+        return build_nav_instances(
+            root, splits, self.ws.tokenizer,
+            path_type=self.cfg.path_type,
+            add_ndh=self.cfg.add_ndh_data, add_r2r=self.cfg.add_r2r_data,
+            add_r4r=self.cfg.add_r4r_data, add_rxr=self.cfg.add_rxr_data,
+            oscar_setting=self.cfg.oscar_setting, tar_back=self.cfg.tar_back,
+            max_seq_length=self.cfg.max_seq_length)
+
+    def _batcher(self, instances, batch_size):
+        return NavEpisodeBatcher(
+            instances, self.ws.runtime, batch_size=batch_size,
+            path_type=self.cfg.path_type, seed=self.cfg.seed)
+
+    def train(self, state=None) -> dict:
+        cfg = self.cfg
+        n_dev = jax.local_device_count()
+        batch_size = cfg.train_batch_size(n_dev)
+        instances = self._instances(["train"])
+        self.logger.info("training on %d instances, batch %d, %d iterations",
+                         len(instances), batch_size, cfg.num_iterations)
+        batcher = self._batcher(instances, batch_size)
+        if state is None:
+            state = self.agent.init_state()
+        step = self.agent.train_step_fn()
+        metrics = MetricsLogger(cfg.output_dir, "train")
+        losses = []
+        for i, batch in enumerate(
+                batcher.train_batches(cfg.num_iterations, episode_len=cfg.episode_len)):
+            jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+            state, loss = step(state, jb)
+            losses.append(float(loss))
+            it = i + 1
+            if it % cfg.logging_steps == 0:
+                avg = float(np.mean(losses[-cfg.logging_steps:]))
+                self.logger.info("iter %d loss %.4f", it, avg)
+                metrics.log({"loss": avg}, step=it)
+            if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
+                self.ckpt.save(it, state["params"], state["opt_state"])
+        metrics.close()
+        return state
+
+    def val(self, steps=None, splits=("val_seen", "val_unseen")) -> dict:
+        cfg = self.cfg
+        steps = steps if steps is not None else (self.ckpt.steps() or [None])
+        metrics = MetricsLogger(cfg.output_dir, "val")
+        out = {}
+        for ckpt_step in steps:
+            if ckpt_step is None:
+                state = self.agent.init_state()
+                params = state["params"]
+            else:
+                template = {"params": self.agent.init_state()["params"]}
+                params = self.ckpt.restore(ckpt_step, template)["params"]
+            for split in splits:
+                instances = self._instances([split])
+                batcher = self._batcher(instances, cfg.per_gpu_eval_batch_size)
+                # Loss pass: teacher-forced with dropout (train.py:318-320).
+                eval_loss = self.agent.eval_loss_fn(use_dropout=True)
+                losses = []
+                rng = jax.random.PRNGKey(cfg.seed)
+                for batch in batcher.eval_batches(episode_len=cfg.episode_len):
+                    jb = {k: np.asarray(v) for k, v in batch.items()
+                          if not isinstance(v, list)}
+                    rng, r = jax.random.split(rng)
+                    losses.append(float(eval_loss(params, jb, r)))
+                # Argmax rollout pass.
+                results = self.agent.test(params, batcher.eval_batches(),
+                                          feedback="argmax", submit=cfg.submit)
+                self.agent.results = results
+                pred_path = os.path.join(
+                    cfg.output_dir, f"preds_{split}_{ckpt_step}.json")
+                self.agent.write_results(pred_path)
+                gt = [it.raw for it in instances if it.raw.get("end_panos")]
+                evaluator = Evaluator(gt, self.ws.graphs, path_type=cfg.path_type)
+                scored = {k: v for k, v in results.items()
+                          if k in evaluator.instr_ids}
+                summary, _ = evaluator.score_results(scored)
+                summary["loss"] = float(np.mean(losses))
+                self.logger.info("ckpt %s %s: %s", ckpt_step, split, summary)
+                metrics.log(summary, step=ckpt_step or 0, prefix=f"{split}/")
+                out[(ckpt_step, split)] = summary
+        metrics.close()
+        return out
