@@ -1,0 +1,132 @@
+"""Region-feature (bottom-up) extraction pipeline.
+
+Structure-parity with scripts/precompute_bottom-up_features.py: for every
+(scan, viewpoint, view) render, a detector proposes boxes with class/attribute
+distributions and pooled features; host post-processing applies per-class NMS
+confidence pooling, box-count clamping, per-box heading/elevation from
+intrinsics, greedy angular-feature dedup to 10 boxes, and region-token
+extraction.  Output: the reference pickle layout (RegionFeatureStore) plus the
+orientation-appended 2054-d features (scripts/add_orientation_to_features.py).
+
+The detector is pluggable via the ``RegionDetector`` protocol.  The reference
+uses a Caffe Faster R-CNN (ResNet-101, Visual Genome); production parity
+requires converting those weights into ``ResNetDetector`` — this module ships
+the full surrounding pipeline and a deterministic ``StubDetector`` so the
+pipeline is exercised end-to-end without them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Protocol
+
+import numpy as np
+
+from visitron_tpu import geometry as geo
+from visitron_tpu.data.features import RegionFeatureStore
+from visitron_tpu.ops import detection as det
+
+
+class RegionDetector(Protocol):
+    num_classes: int
+    num_attributes: int
+    feature_dim: int
+
+    def __call__(self, image: np.ndarray) -> dict:
+        """image (H, W, 3) -> {"boxes" (N,4), "cls_prob" (N,C), "attr_prob"
+        (N,A), "features" (N,D)}."""
+        ...
+
+
+@dataclass
+class StubDetector:
+    """Deterministic pseudo-detector (pipeline tests / --debug parity)."""
+
+    num_classes: int = 12
+    num_attributes: int = 5
+    feature_dim: int = 2048
+    boxes_per_image: int = 24
+    seed: int = 0
+
+    def __call__(self, image: np.ndarray) -> dict:
+        h, w = image.shape[:2]
+        # Deterministic per-image rng from content.
+        key = int(np.abs(image).sum() * 1000) % (2**31)
+        rng = np.random.default_rng(self.seed + key)
+        n = self.boxes_per_image
+        x1 = rng.uniform(0, w * 0.7, n)
+        y1 = rng.uniform(0, h * 0.7, n)
+        bw = rng.uniform(w * 0.1, w * 0.3, n)
+        bh = rng.uniform(h * 0.1, h * 0.3, n)
+        boxes = np.stack([x1, y1, np.minimum(x1 + bw, w - 1),
+                          np.minimum(y1 + bh, h - 1)], axis=1).astype(np.float32)
+        cls_prob = rng.dirichlet(np.ones(self.num_classes), n).astype(np.float32)
+        attr_prob = rng.dirichlet(np.ones(self.num_attributes), n).astype(np.float32)
+        feats = rng.standard_normal((n, self.feature_dim)).astype(np.float32)
+        return {"boxes": boxes, "cls_prob": cls_prob, "attr_prob": attr_prob,
+                "features": feats}
+
+
+@dataclass
+class RegionFeatureExtractor:
+    detector: RegionDetector
+    classes: list[str]       # index 0 = __background__
+    attributes: list[str]    # index 0 = __no_attribute__
+    image_w: int = 600
+    image_h: int = 600
+    vfov: int = 80
+    max_total_boxes: int = det.MAX_TOTAL_BOXES
+
+    def extract_view(self, image: np.ndarray, view_heading: float,
+                     view_elevation: float) -> dict:
+        """One rendered view -> deduped record with <=10 boxes, tokens and
+        orientation-appended features."""
+        raw = self.detector(image)
+        keep = det.select_boxes(raw["boxes"], raw["cls_prob"])
+        rec = {
+            "boxes": raw["boxes"][keep],
+            "cls_prob": raw["cls_prob"][keep],
+            "attr_prob": raw["attr_prob"][keep],
+            "features": raw["features"][keep],
+        }
+        rec["featureHeading"], rec["featureElevation"] = det.box_orientation(
+            rec["boxes"], view_heading, view_elevation,
+            self.image_w, self.image_h, self.vfov)
+        det.dedup_boxes(rec, self.max_total_boxes)
+        rec["region_tokens"] = det.region_tokens(
+            rec["cls_prob"], rec["attr_prob"], self.classes, self.attributes)
+        rec["features"] = det.append_orientation(
+            rec["features"], rec["boxes"], self.image_w, self.image_h)
+        return rec
+
+    def extract_all(self, graphs: dict, image_provider: Callable) -> RegionFeatureStore:
+        """image_provider(scan, vp) -> (36, H, W, 3); returns the store keyed
+        ``scan_vp_viewIdx`` (reference FeaturesReader layout)."""
+        features: dict[bytes, np.ndarray] = {}
+        tokens: dict[bytes, list[str]] = {}
+        for scan in sorted(graphs):
+            g = graphs[scan]
+            for vp in g.viewpoints:
+                pano = image_provider(scan, vp)
+                for view in range(geo.NUM_VIEWS):
+                    rec = self.extract_view(
+                        pano[view], geo.heading_of_view(view),
+                        geo.elevation_of_view(view))
+                    key = f"{scan}_{vp}_{view}".encode()
+                    features[key] = rec["features"]
+                    tokens[key] = rec["region_tokens"]
+        return RegionFeatureStore(features, tokens, self.image_w, self.image_h, self.vfov)
+
+
+def verify_region_store(path_prefix: str) -> dict:
+    """Round-trip sanity check of a written store
+    (scripts/verify_bottom-up_features_in_python3.py parity)."""
+    store = RegionFeatureStore.from_pickle(path_prefix)
+    assert len(store) > 0
+    key = store.keys[0]
+    feats = store[key]
+    toks = store.get_region_tokens(key)
+    assert feats.ndim == 2 and feats.shape[0] == len(toks)
+    assert np.isfinite(feats).all()
+    return {"num_keys": len(store), "feature_dim": int(feats.shape[1]),
+            "boxes_first": int(feats.shape[0])}

@@ -1,0 +1,100 @@
+"""Scene-feature extraction: ResNet global features for all 36 views.
+
+Replaces scripts/precompute_resnet_img_features.py (render 36 views per
+viewpoint, torchvision ResNet-152 in batches of 12, TSV output) with a
+TPU-batched extractor: the jitted backbone processes whole panoramas (36
+views) at once in bfloat16, and the writer emits the identical TSV schema.
+
+Rendering is decoupled: the extractor consumes an ``image_provider`` callable
+``(scan, viewpoint) -> (36, H, W, 3) float32 in [0,1]`` (pre-rendered skybox
+crops, a rendering service, or the synthetic generator in tests).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visitron_tpu import geometry as geo
+from visitron_tpu.data.features import write_tsv_img_features
+from visitron_tpu.models.resnet import ResNet
+from visitron_tpu.utils import Timer
+
+
+@dataclass
+class SceneFeatureExtractor:
+    params: dict
+    depth: int = 152
+    image_w: int = 640
+    image_h: int = 480
+    vfov: int = 60
+    batch_views: int = 36  # whole panorama per device batch
+
+    def __post_init__(self):
+        self.model = ResNet(self.depth)
+
+        @jax.jit
+        def forward(params, images):
+            return self.model.apply({"params": params}, images)
+
+        self._forward = forward
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, depth: int = 152, **kw):
+        import torch
+
+        from visitron_tpu.models.resnet import convert_torchvision_resnet
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        state = {k: v.numpy() for k, v in state.items()}
+        return cls(params=convert_torchvision_resnet(state, depth), depth=depth, **kw)
+
+    @classmethod
+    def random_init(cls, rng_seed: int = 0, depth: int = 50, image_hw=(64, 64), **kw):
+        """Randomly initialized backbone (tests / --debug parity)."""
+        model = ResNet(depth)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(rng_seed), jnp.zeros((1, *image_hw, 3)))["params"]
+        return cls(params=params, depth=depth, **kw)
+
+    def extract_viewpoint(self, images: np.ndarray) -> np.ndarray:
+        """(36, H, W, 3) -> (36, 2048) float32."""
+        assert images.shape[0] == geo.NUM_VIEWS
+        out = self._forward(self.params, jnp.asarray(images, jnp.float32))
+        return np.asarray(out, np.float32)
+
+    def extract_all(self, graphs: dict, image_provider, out_tsv: str | None = None,
+                    log_every: int = 100, logger=None) -> dict[str, np.ndarray]:
+        """All (scan, viewpoint) panoramas -> {scan_vp: (36, D)}; optional TSV.
+
+        Mirrors the reference throughput accounting (render/net time per
+        viewpoint, projected totals; precompute_resnet_img_features.py:270-282).
+        """
+        features: dict[str, np.ndarray] = {}
+        render_t, net_t = Timer(), Timer()
+        total = sum(g.num_viewpoints for g in graphs.values())
+        done = 0
+        start = time.time()
+        for scan in sorted(graphs):
+            g = graphs[scan]
+            for vp in g.viewpoints:
+                render_t.tic()
+                images = image_provider(scan, vp)
+                render_t.toc()
+                net_t.tic()
+                features[f"{scan}_{vp}"] = self.extract_viewpoint(images)
+                net_t.toc()
+                done += 1
+                if logger and done % log_every == 0:
+                    avg_r, avg_n = render_t.toc(average=True), net_t.toc(average=True)
+                    rate = done / (time.time() - start)
+                    logger.info(
+                        "%d/%d viewpoints; render %.3fs net %.3fs; ~%.1f h left",
+                        done, total, avg_r, avg_n, (total - done) / rate / 3600)
+        if out_tsv:
+            write_tsv_img_features(out_tsv, features, self.image_w, self.image_h, self.vfov)
+        return features
