@@ -1,6 +1,5 @@
 """Viewpoint agent: teacher rollouts on device, student rollouts, eval wiring."""
 
-import math
 
 import jax
 import numpy as np

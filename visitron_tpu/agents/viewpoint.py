@@ -20,7 +20,6 @@ re-architected for TPU:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -80,6 +79,7 @@ class ViewpointAgent:
     max_grad_norm: float = 40.0
     seed: int = 88
     max_seq_length: int = 512
+    mesh: object = None  # optional jax Mesh for data-parallel training
 
     def __post_init__(self):
         self.encoder = OscarEncoder(
@@ -130,11 +130,16 @@ class ViewpointAgent:
             return {"encoder": enc_params, "decoder": dec_params}
 
         params = init(rng)
-        return {
+        state = {
             "params": params,
-            "opt_state": self.optimizer.init(params),
+            "opt_state": jax.jit(self.optimizer.init)(params),
             "rng": jax.random.PRNGKey(self.seed + 1),
         }
+        if self.mesh is not None:
+            from visitron_tpu.parallel import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
 
     # -- shared pieces ---------------------------------------------------------
     def _encode_fn(self, deterministic: bool):
@@ -206,8 +211,24 @@ class ViewpointAgent:
             params = optax.apply_updates(state["params"], updates)
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
-        self._train_step = train_step
-        return train_step
+        if self.mesh is None:
+            self._train_step = train_step
+        else:
+            # Data parallelism: batch arrays sharded over dp, params
+            # replicated; the SPMD partitioner inserts the gradient
+            # all-reduce (replaces DDP + manual loss allreduce,
+            # agent.py:509-512).
+            from visitron_tpu.parallel import batch_sharding
+
+            data = batch_sharding(self.mesh)
+
+            def run(state, batch):
+                batch = jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x), data), batch)
+                return train_step(state, batch)
+
+            self._train_step = run
+        return self._train_step
 
     def eval_loss_fn(self, use_dropout: bool = False):
         """Validation loss with teacher forcing (test(use_dropout=True,

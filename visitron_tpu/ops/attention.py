@@ -51,10 +51,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, sm_scal
 
     def loop_body(i, carry):
         acc, m_prev, l_prev = carry
-        k = pl.load(k_ref, (0, pl.ds(i * block_k, block_k), slice(None))).astype(jnp.float32)
-        v = pl.load(v_ref, (0, pl.ds(i * block_k, block_k), slice(None))).astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (Bq, Bk)
-        b = pl.load(bias_ref, (0, pl.ds(i * block_k, block_k)))
+        b = bias_ref[0, 0, pl.ds(i * block_k, block_k)]
         s = s + b[None, :].astype(jnp.float32)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         alpha = jnp.exp(m_prev - m_cur)
@@ -86,7 +86,7 @@ def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128):
     qr = q.reshape(b * h, qs, d)
     kr = k.reshape(b * h, ks, d)
     vr = v.reshape(b * h, ks, d)
-    biasr = jnp.repeat(key_bias, h, axis=0)  # (B*H, K)
+    biasr = jnp.repeat(key_bias, h, axis=0)[:, None, :]  # (B*H, 1, K)
 
     grid = (b * h, qs // block_q)
     out = pl.pallas_call(
@@ -96,7 +96,7 @@ def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128):
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, ks), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, ks), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, qs, d), q.dtype),

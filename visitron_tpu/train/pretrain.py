@@ -92,7 +92,6 @@ class PretrainTrainer:
     def step_fn(self):
         if self._step_fn is not None:
             return self._step_fn
-        rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
 
         # Shardings are inferred from the arguments: init_state places params
