@@ -4,9 +4,12 @@ Two interchangeable paths:
   * ``multi_head_attention``: pure jnp einsum formulation — XLA fuses the
     softmax chain into the matmuls; this is the correctness reference and the
     CPU-test path.
-  * ``flash_attention``: a Pallas TPU kernel (blockwise online-softmax) used
-    for the 768-token joint text+region encoder when running on TPU with
-    supported shapes; falls back to the jnp path otherwise.
+  * ``flash_attention``: a Pallas TPU kernel (blockwise online-softmax).
+    Measured on TPU v5e at the joint-encoder shape (B2xH12x768xD64) it is
+    slightly slower than the XLA-fused jnp path (1.27 vs 1.06 ms), so the jnp
+    path stays the default; the kernel is kept (validated in interpret mode
+    and on hardware) for longer-context configurations where blockwise
+    attention wins.
 
 Replaces the reference's unfused torch attention
 (oscar/modeling_bert.py:34-79).  Attention-probability dropout (which torch

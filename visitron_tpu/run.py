@@ -254,7 +254,18 @@ def main(argv=None):
         print(__doc__)
         return
     task, rest = argv[0], argv[1:]
-    cfg = RunConfig.from_args(rest)
+    if rest and rest[0] == "--config":
+        # Experiment-config file (run_configs/*.json) + CLI overrides.
+        import dataclasses
+
+        base = RunConfig.from_json(rest[1])
+        cfg = RunConfig.from_args(rest[2:])
+        defaults = RunConfig()
+        overrides = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(RunConfig)
+                     if getattr(cfg, f.name) != getattr(defaults, f.name)}
+        cfg = dataclasses.replace(base, **overrides)
+    else:
+        cfg = RunConfig.from_args(rest)
     if task == "viewpoint":
         run_viewpoint(cfg)
     elif task == "turn_based":

@@ -75,7 +75,11 @@ class ViewpointTrainer:
             instances, self.ws.runtime, batch_size=batch_size,
             path_type=self.cfg.path_type, seed=self.cfg.seed)
 
-    def train(self, state=None) -> dict:
+    def train(self, state=None, resume: bool = False, profile_steps: int = 0) -> dict:
+        """Train loop.  ``resume`` restores the latest checkpoint (params +
+        optimizer state — exact-resume the reference lacked); ``profile_steps``
+        captures a jax profiler trace of that many early steps into
+        <output_dir>/profile."""
         cfg = self.cfg
         n_dev = jax.local_device_count()
         batch_size = cfg.train_batch_size(n_dev)
@@ -85,23 +89,61 @@ class ViewpointTrainer:
         batcher = self._batcher(instances, batch_size)
         if state is None:
             state = self.agent.init_state()
+        start_it = 0
+        if resume and self.ckpt.latest() is not None:
+            start_it = self.ckpt.latest()
+            restored = self.ckpt.restore(
+                start_it, {"params": state["params"], "opt_state": state["opt_state"]})
+            state = {**state, **restored}
+            self.logger.info("resumed from checkpoint-%d", start_it)
         step = self.agent.train_step_fn()
         metrics = MetricsLogger(cfg.output_dir, "train")
         losses = []
+        remaining = cfg.num_iterations - start_it
+        profiling = False
         for i, batch in enumerate(
-                batcher.train_batches(cfg.num_iterations, episode_len=cfg.episode_len)):
+                batcher.train_batches(remaining, episode_len=cfg.episode_len)):
+            it = start_it + i + 1
+            if profile_steps and i == 1:  # skip compile step
+                jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
+                profiling = True
             jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
             state, loss = step(state, jb)
+            if profiling and i == profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
             losses.append(float(loss))
-            it = i + 1
             if it % cfg.logging_steps == 0:
                 avg = float(np.mean(losses[-cfg.logging_steps:]))
                 self.logger.info("iter %d loss %.4f", it, avg)
                 metrics.log({"loss": avg}, step=it)
             if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
                 self.ckpt.save(it, state["params"], state["opt_state"])
+        if profiling:
+            jax.profiler.stop_trace()
         metrics.close()
         return state
+
+    def test_submission(self, state=None, split: str = "test") -> str:
+        """Roll out the test split and write the EvalAI submission JSON
+        (train.py:367-499 parity; cyclic-path avoidance enabled)."""
+        cfg = self.cfg
+        if state is None:
+            latest = self.ckpt.latest()
+            state = self.agent.init_state()
+            if latest is not None:
+                state["params"] = self.ckpt.restore(
+                    latest, {"params": state["params"]})["params"]
+        instances = self._instances([split])
+        batcher = self._batcher(instances, cfg.per_gpu_eval_batch_size)
+        results = self.agent.test(state["params"], batcher.eval_batches(),
+                                  feedback="argmax", submit=True)
+        self.agent.results = results
+        path = os.path.join(cfg.output_dir, f"submission_{split}.json")
+        self.agent.write_results(path)
+        self.logger.info("wrote %d trajectories to %s", len(results), path)
+        return path
 
     def val(self, steps=None, splits=("val_seen", "val_unseen")) -> dict:
         cfg = self.cfg
