@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,7 +240,7 @@ class ClassifierAgent:
 
     def train_step_fn(self):
         if self._train_step is None:
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state, batch):
                 rng, step_rng = jax.random.split(state["rng"])
                 (loss, _), grads = jax.value_and_grad(

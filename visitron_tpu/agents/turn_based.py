@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,7 +129,7 @@ class TurnBasedAgent:
 
     def train_step_fn(self):
         if self._train_step is None:
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state, batch):
                 rng, step_rng = jax.random.split(state["rng"])
                 loss, grads = jax.value_and_grad(

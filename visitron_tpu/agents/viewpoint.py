@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -198,7 +200,7 @@ class ViewpointAgent:
         if self._train_step is not None:
             return self._train_step
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch):
             rng, step_rng = jax.random.split(state["rng"])
 

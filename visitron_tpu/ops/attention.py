@@ -33,11 +33,12 @@ def multi_head_attention(q, k, v, bias=None, dropout_rng=None, dropout_rate: flo
     scores = scores / jnp.sqrt(jnp.asarray(depth, scores.dtype))
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1)
+    # Softmax in f32 for stability; probs stored/dropped in the compute dtype
+    # (bf16 on TPU) — the (B, H, Q, K) tensor dominates HBM traffic.
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     if not deterministic and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
-    probs = probs.astype(v.dtype)
+        probs = probs * keep.astype(v.dtype) / jnp.asarray(1.0 - dropout_rate, v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 

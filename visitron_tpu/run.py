@@ -205,22 +205,34 @@ def run_pretrain(cfg: RunConfig):
         store = RegionFeatureStore.from_pickle(cfg.region_feature_prefix)
         detector_classes = sorted({t for v in store.region_tokens.values() for t in v})
 
-    records = []
-    for ds, flag in (("NDH", cfg.add_ndh_data), ("R2R", cfg.add_r2r_data),
-                     ("R4R", cfg.add_r4r_data), ("RxR", cfg.add_rxr_data)):
-        if flag:
-            records += generate_pretrain_examples(root, ["train"], ds, ws.graphs, tables)
-    dataset = PretrainDataset(
-        records, ws.tokenizer, region_store=store,
-        detector_classes=detector_classes,
-        masked_token_prediction=cfg.masked_token_prediction,
-        no_action_grounding=cfg.no_action_grounding,
-        mlm_probability=cfg.mlm_probability,
-        max_seq_length=cfg.max_seq_length,
-        max_img_seq_length=cfg.max_img_seq_length,
-        region_feat_dim=cfg.img_feature_dim,
-        oscar_setting=cfg.oscar_setting, tar_back=cfg.tar_back,
-        debug=cfg.debug, seed=cfg.seed)
+    def make_dataset(splits):
+        records = []
+        for ds, flag in (("NDH", cfg.add_ndh_data), ("R2R", cfg.add_r2r_data),
+                         ("R4R", cfg.add_r4r_data), ("RxR", cfg.add_rxr_data)):
+            if not flag:
+                continue
+            if ds == "RxR" and splits != ["train"]:
+                continue  # RxR ships train-guide annotations only
+            try:
+                records += generate_pretrain_examples(root, splits, ds, ws.graphs, tables)
+            except FileNotFoundError:
+                if splits == ["train"]:
+                    raise
+        if not records:
+            return None
+        return PretrainDataset(
+            records, ws.tokenizer, region_store=store,
+            detector_classes=detector_classes,
+            masked_token_prediction=cfg.masked_token_prediction,
+            no_action_grounding=cfg.no_action_grounding,
+            mlm_probability=cfg.mlm_probability,
+            max_seq_length=cfg.max_seq_length,
+            max_img_seq_length=cfg.max_img_seq_length,
+            region_feat_dim=cfg.img_feature_dim,
+            oscar_setting=cfg.oscar_setting, tar_back=cfg.tar_back,
+            debug=cfg.debug, seed=cfg.seed)
+
+    dataset = make_dataset(["train"])
     mesh = make_mesh(dp=cfg.mesh_dp or None, tp=cfg.mesh_tp)
     bcfg = ws.bert_config.replace(detector_classes=len(detector_classes))
     steps_per_epoch = max(len(dataset) // cfg.train_batch_size(mesh.devices.size), 1)
@@ -244,8 +256,30 @@ def run_pretrain(cfg: RunConfig):
                 logger.info("epoch %d iter %d %s", epoch, it, vals)
                 metrics.log(vals, step=it)
         ckpt.save(it, state["params"], state["opt_state"])
+        # Per-epoch validation over the val splits (pretrain.py:273-579 parity).
+        for split in ("val_seen", "val_unseen"):
+            val_ds = make_dataset([split])
+            if val_ds is None or len(val_ds) < batch_size:
+                continue
+            vals = trainer.evaluate(state["params"], val_ds, batch_size)
+            logger.info("epoch %d %s %s", epoch, split, vals)
+            metrics.log(vals, step=it, prefix=f"{split}/")
     metrics.close()
     return state
+
+
+def _maybe_init_multihost() -> None:
+    """Multi-host SPMD: when launched under a multi-host runtime (coordinator
+    address in the environment), join the global mesh.  This replaces
+    torch.distributed.launch + NCCL init (reference run_scripts/*:4,
+    train.py:536-548): afterwards jax.devices() spans all hosts and every
+    jitted step is a single global SPMD program."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
 
 
 def main(argv=None):
@@ -253,6 +287,7 @@ def main(argv=None):
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return
+    _maybe_init_multihost()
     task, rest = argv[0], argv[1:]
     if rest and rest[0] == "--config":
         # Experiment-config file (run_configs/*.json) + CLI overrides.
