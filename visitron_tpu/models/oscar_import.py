@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import numpy as np
 
 from visitron_tpu.models.bert import BertConfig
@@ -136,6 +137,36 @@ def convert_pretrain_to_flax(state: dict, cfg: BertConfig, seed: int = 0) -> dic
         out["token_head"] = {"kernel": g("token_head.0.weight").T,
                              "bias": g("token_head.0.bias")}
     return out
+
+
+def graft_bert_into_encoder(encoder_params: dict, model_path: str, cfg: BertConfig,
+                            seed: int = 0) -> dict:
+    """Load a torch Oscar/BERT checkpoint into an OscarEncoder's BERT subtree
+    (the fine-tune initialization path: train.py:40 + agent.py:110-117).
+
+    ``encoder_params`` is the OscarEncoder init result; its
+    params/bert/bert/... subtree is replaced where the checkpoint provides
+    weights (LSTM/projection layers keep their fresh init).
+    """
+    import flax
+
+    state = load_torch_state_dict(model_path)
+    state = _strip_prefix(state, "module.")
+    state = _strip_prefix(state, "bert.")
+    converted = convert_bert_to_flax(state, cfg, seed)
+    tgt = flax.traverse_util.flatten_dict(
+        encoder_params["params"]["bert"]["bert"])
+    src = flax.traverse_util.flatten_dict(converted)
+    for k, v in src.items():
+        if k in tgt:
+            assert tgt[k].shape == v.shape, (k, tgt[k].shape, v.shape)
+            tgt[k] = np.asarray(v, np.float32)
+    out = flax.traverse_util.unflatten_dict(tgt)
+    import copy
+
+    new = copy.deepcopy(jax.tree.map(np.asarray, encoder_params))
+    new["params"]["bert"]["bert"] = out
+    return new
 
 
 def load_oscar_weights(model_path: str, cfg: BertConfig, template_params: dict,

@@ -89,6 +89,7 @@ class ViewpointTrainer:
         batcher = self._batcher(instances, batch_size)
         if state is None:
             state = self.agent.init_state()
+            state = self._maybe_load_pretrained(state)
         start_it = 0
         if resume and self.ckpt.latest() is not None:
             start_it = self.ckpt.latest()
@@ -124,6 +125,24 @@ class ViewpointTrainer:
             jax.profiler.stop_trace()
         metrics.close()
         return state
+
+    def _maybe_load_pretrained(self, state: dict) -> dict:
+        """Initialize the dialog encoder's BERT from the Oscar checkpoint
+        (train.py:40 + --no_pretrained_model parity, params.py:61-66)."""
+        cfg = self.cfg
+        if cfg.no_pretrained_model or not cfg.model_name_or_path:
+            return state
+        if not os.path.exists(cfg.model_name_or_path):
+            self.logger.warning("model_name_or_path %s not found; training from scratch",
+                                cfg.model_name_or_path)
+            return state
+        from visitron_tpu.models.oscar_import import graft_bert_into_encoder
+
+        params = dict(state["params"])
+        params["encoder"] = graft_bert_into_encoder(
+            params["encoder"], cfg.model_name_or_path, self.ws.bert_config)
+        self.logger.info("loaded Oscar/BERT weights from %s", cfg.model_name_or_path)
+        return {**state, "params": params}
 
     def test_submission(self, state=None, split: str = "test") -> str:
         """Roll out the test split and write the EvalAI submission JSON
