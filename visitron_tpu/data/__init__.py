@@ -28,3 +28,26 @@ __all__ = [
     "read_tsv_img_features",
     "write_tsv_img_features",
 ]
+
+from visitron_tpu.data.candidates import (
+    ScanCandidateTable,
+    build_candidate_table,
+    build_candidate_tables,
+)
+from visitron_tpu.data.classifier_dataset import ClassifierInstance, build_classifier_instances
+from visitron_tpu.data.env import EnvBatch, SimNavEnv
+from visitron_tpu.data.legacy_tokenizer import LegacyTokenizer, build_legacy_vocab
+from visitron_tpu.data.pretrain_dataset import PretrainDataset
+
+__all__ += [
+    "ScanCandidateTable",
+    "build_candidate_table",
+    "build_candidate_tables",
+    "ClassifierInstance",
+    "build_classifier_instances",
+    "EnvBatch",
+    "SimNavEnv",
+    "LegacyTokenizer",
+    "build_legacy_vocab",
+    "PretrainDataset",
+]

@@ -23,3 +23,16 @@ __all__ = [
     "LSTM",
     "lstm_cell_step",
 ]
+
+from visitron_tpu.models.classification import ImageBertForActionPrediction
+from visitron_tpu.models.resnet import ResNet, convert_torchvision_resnet
+from visitron_tpu.models.speaker import Critic, SpeakerDecoder, SpeakerEncoder
+
+__all__ += [
+    "ImageBertForActionPrediction",
+    "ResNet",
+    "convert_torchvision_resnet",
+    "Critic",
+    "SpeakerDecoder",
+    "SpeakerEncoder",
+]
