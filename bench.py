@@ -47,8 +47,12 @@ def main() -> None:
     from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
     import tempfile
 
+    # Dialog lengths follow the NDH profile (several QA turns, ~60-250
+    # wordpiece tokens): the framework buckets padded length to 128-multiples,
+    # so throughput is measured on realistic, not degenerate, dialog lengths.
     world = SyntheticWorld(seed=3, num_scans=4, viewpoints_per_scan=60,
-                           scene_feat_dim=FEAT_DIM)
+                           scene_feat_dim=FEAT_DIM,
+                           dialog_turns=(2, 6), words_per_turn=(10, 30))
     table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
     runtime = NavRuntime.build(world.graphs, table, device_dtype=jnp.bfloat16)
     tok = WordPieceTokenizer(build_wordpiece_vocab(

@@ -24,6 +24,7 @@ import optax
 
 from visitron_tpu import geometry as geo
 from visitron_tpu.agents.runtime import NavRuntime
+from visitron_tpu.agents.viewpoint import ViewpointAgent
 from visitron_tpu.models import BertConfig, OscarEncoder, TurnBasedDecoderLSTM
 from visitron_tpu.ops.masking import NEG_INF
 from visitron_tpu.train.optim import agent_optimizer
@@ -139,14 +140,22 @@ class TurnBasedAgent:
                     grads, state["opt_state"], state["params"])
                 params = optax.apply_updates(state["params"], updates)
                 return {"params": params, "opt_state": opt_state, "rng": rng}, loss
-            self._train_step = train_step
+
+            def run(state, batch):
+                return train_step(state, ViewpointAgent.trim_batch(batch))
+
+            self._train_step = run
         return self._train_step
 
     def eval_loss_fn(self, use_dropout: bool = False):
         @jax.jit
         def eval_loss(params, batch, rng):
             return self._episode_loss(params, batch, rng, not use_dropout)
-        return eval_loss
+
+        def run(params, batch, rng):
+            return eval_loss(params, ViewpointAgent.trim_batch(batch), rng)
+
+        return run
 
     # -- student rollout ---------------------------------------------------
     def _student_step_fn(self, feedback: str, deterministic: bool):
@@ -179,6 +188,7 @@ class TurnBasedAgent:
         rt = self.runtime
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        batch = ViewpointAgent.trim_batch(batch)
         det = not use_dropout
 
         @jax.jit

@@ -144,6 +144,22 @@ class ViewpointAgent:
         return state
 
     # -- shared pieces ---------------------------------------------------------
+    @staticmethod
+    def trim_batch(batch: dict, bucket: int = 128) -> dict:
+        """Trim dialog arrays to the batch's max length rounded up to a
+        ``bucket`` multiple.  Semantically identical (masking invariance:
+        padded keys are masked, the LSTM freezes at pads — verified in
+        tests) but skips the encoder/LSTM work the reference wastes on
+        all-pad positions; at most S/bucket jit variants exist."""
+        s_full = batch["ids"].shape[1]
+        s = int(min(s_full, -(-int(max(1, batch["lengths"].max())) // bucket) * bucket))
+        if s == s_full:
+            return batch
+        out = dict(batch)
+        out["ids"] = batch["ids"][:, :s]
+        out["segs"] = batch["segs"][:, :s]
+        return out
+
     def _encode_fn(self, deterministic: bool):
         if deterministic not in self._encode:
             @jax.jit
@@ -214,7 +230,8 @@ class ViewpointAgent:
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
         if self.mesh is None:
-            self._train_step = train_step
+            def run(state, batch):
+                return train_step(state, self.trim_batch(batch))
         else:
             # Data parallelism: batch arrays sharded over dp, params
             # replicated; the SPMD partitioner inserts the gradient
@@ -225,11 +242,12 @@ class ViewpointAgent:
             data = batch_sharding(self.mesh)
 
             def run(state, batch):
+                batch = self.trim_batch(batch)
                 batch = jax.tree.map(
                     lambda x: jax.device_put(jnp.asarray(x), data), batch)
                 return train_step(state, batch)
 
-            self._train_step = run
+        self._train_step = run
         return self._train_step
 
     def eval_loss_fn(self, use_dropout: bool = False):
@@ -238,7 +256,11 @@ class ViewpointAgent:
         @jax.jit
         def eval_loss(params, batch, rng):
             return self._episode_loss(params, batch, rng, deterministic=not use_dropout)
-        return eval_loss
+
+        def run(params, batch, rng):
+            return eval_loss(params, self.trim_batch(batch), rng)
+
+        return run
 
     # -- student-forced rollout --------------------------------------------------
     def _student_step_fn(self, feedback: str, deterministic: bool):
@@ -279,6 +301,7 @@ class ViewpointAgent:
         rt = self.runtime
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        batch = self.trim_batch(batch)
         encode = self._encode_fn(not use_dropout)
         rng, enc_rng = jax.random.split(rng)
         ctx, h_t, c_t = encode(params["encoder"], jnp.asarray(batch["ids"]),

@@ -60,7 +60,10 @@ class LSTMCellParams(nn.Module):
 def masked_lstm_scan(params, inputs, lengths, dtype=None):
     """Run an LSTM over (B, T, I) with per-sequence lengths.
 
-    Returns (outputs (B, T, H) zeroed at pads, (h_last, c_last))."""
+    The input-side gate projection runs as ONE (B, T, I)x(I, 4H) matmul
+    outside the scan (MXU-efficient); the sequential body only does the
+    recurrent h @ Wh matmul + elementwise gates.  Returns (outputs (B, T, H)
+    zeroed at pads, (h_last, c_last))."""
     b, t, _ = inputs.shape
     hidden_size = params["wh"].shape[1]
     if dtype is None:
@@ -68,18 +71,23 @@ def masked_lstm_scan(params, inputs, lengths, dtype=None):
     mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(dtype)
     h0 = jnp.zeros((b, hidden_size), dtype)
     c0 = jnp.zeros((b, hidden_size), dtype)
+    # (B, T, 4H): hoisted input gates.
+    gates_x = inputs @ params["wi"].T + params["bi"] + params["bh"]
 
     def body(carry, xm):
         h, c = carry
-        x, valid = xm
-        h_new, c_new = lstm_cell_step(params, x, h, c)
+        gx, valid = xm
+        gates = gx + h @ params["wh"].T
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         v = valid[:, None]
         h_new = v * h_new + (1 - v) * h
         c_new = v * c_new + (1 - v) * c
         return (h_new, c_new), h_new * v
 
     (h, c), ys = jax.lax.scan(
-        body, (h0, c0), (inputs.transpose(1, 0, 2), mask.transpose(1, 0))
+        body, (h0, c0), (gates_x.transpose(1, 0, 2), mask.transpose(1, 0))
     )
     return ys.transpose(1, 0, 2), (h, c)
 

@@ -46,8 +46,12 @@ class SyntheticWorld:
         scene_feat_dim: int = 2048,
         region_feat_dim: int = 2054,
         regions_per_view: int = 5,
+        dialog_turns: tuple[int, int] = (1, 4),
+        words_per_turn: tuple[int, int] = (4, 12),
     ):
         self.rng = np.random.default_rng(seed)
+        self.dialog_turns = dialog_turns
+        self.words_per_turn = words_per_turn
         self.scene_feat_dim = scene_feat_dim
         self.region_feat_dim = region_feat_dim
         self.regions_per_view = regions_per_view
@@ -111,7 +115,9 @@ class SyntheticWorld:
         return out_dir
 
     # -- dialogs / episodes ----------------------------------------------------
-    def _sentence(self, lo=4, hi=12) -> str:
+    def _sentence(self, lo=None, hi=None) -> str:
+        lo = lo if lo is not None else self.words_per_turn[0]
+        hi = hi if hi is not None else self.words_per_turn[1]
         k = int(self.rng.integers(lo, hi))
         return " ".join(self.rng.choice(_WORDS, size=k))
 
@@ -147,7 +153,7 @@ class SyntheticWorld:
             for nb in g.neighbors(goal):
                 if g.dist[goal, nb] < 3.0:
                     end_panos.add(int(nb))
-            turns = int(self.rng.integers(1, 4)) * 2
+            turns = int(self.rng.integers(*self.dialog_turns)) * 2
             dialog = []
             for t in range(turns):
                 dialog.append(
