@@ -88,6 +88,16 @@ class RunConfig:
     mesh_tp: int = 1
     use_bfloat16: bool = True
 
+    def __post_init__(self):
+        valid = ("planner_path", "player_path", "trusted_path")
+        if self.path_type not in valid:
+            raise ValueError(f"--path_type must be one of {valid}, got {self.path_type!r}")
+        if self.feedback_method not in ("teacher", "argmax", "sample", "topk",
+                                        "nucleus", "temperature", "penalty"):
+            raise ValueError(f"invalid --feedback_method {self.feedback_method!r}")
+        if self.scheduler not in ("linear", "constant"):
+            raise ValueError(f"--scheduler must be linear or constant, got {self.scheduler!r}")
+
     @property
     def episode_len(self) -> int:
         # train.py:551-554: 10 with planner supervision, 40 otherwise.
