@@ -83,7 +83,6 @@ class ClassifierAgent:
         else:
             self.optimizer = base
         self._train_step = None
-        self.logs = {"predictions": [], "labels": []}
 
     def init_state(self) -> dict:
         s = self.max_seq_length

@@ -102,7 +102,6 @@ class ViewpointAgent:
         self._train_step = None
         self._encode = {}
         self._student_step = {}
-        self.losses: list[float] = []
         self.results: dict = {}
 
     # -- parameter init ------------------------------------------------------

@@ -24,10 +24,6 @@ from visitron_tpu.config import RunConfig
 from visitron_tpu.train.workspace import Workspace
 
 
-def _workspace(cfg: RunConfig, scans=None) -> Workspace:
-    return Workspace.from_config(cfg, scans=scans)
-
-
 def run_viewpoint(cfg: RunConfig, do_val: bool = True):
     from visitron_tpu.train.finetune import ViewpointTrainer
 
@@ -200,6 +196,10 @@ def run_pretrain(cfg: RunConfig):
         feats, tokens = ws.synthetic.region_features()
         store = RegionFeatureStore(feats, tokens)
         detector_classes = sorted({t for v in tokens.values() for t in v})
+        if cfg.debug and "wall" not in detector_classes:
+            # --debug substitutes constant "wall" region labels
+            # (data_loader_pretrain.py:524-525); keep it classifiable.
+            detector_classes.append("wall")
     else:
         root = cfg.data_root
         store = RegionFeatureStore.from_pickle(cfg.region_feature_prefix)

@@ -101,6 +101,9 @@ class ViewpointTrainer:
         metrics = MetricsLogger(cfg.output_dir, "train")
         losses = []
         remaining = cfg.num_iterations - start_it
+        self.logger.info(
+            "compiling the train step (first iteration; can take minutes on "
+            "remote-attached accelerators)...")
         profiling = False
         for i, batch in enumerate(
                 batcher.train_batches(remaining, episode_len=cfg.episode_len)):
