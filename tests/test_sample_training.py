@@ -1,0 +1,97 @@
+"""Student-forced (sample/argmax feedback) training — fully on-device."""
+
+import jax
+import numpy as np
+import pytest
+
+from visitron_tpu.agents import NavRuntime, ViewpointAgent
+from visitron_tpu.agents.batcher import NavEpisodeBatcher
+from visitron_tpu.data import SceneFeatureTable, WordPieceTokenizer, build_wordpiece_vocab
+from visitron_tpu.data.datasets import build_nav_instances
+from visitron_tpu.models import BertConfig
+
+SEQ = 64
+EP_LEN = 8
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory, world):
+    from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
+
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    runtime = NavRuntime.build(world.graphs, table)
+    tok = WordPieceTokenizer(build_wordpiece_vocab(
+        [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=512))
+    root = world.write_task_data(str(tmp_path_factory.mktemp("sft")))
+    inst = build_nav_instances(root, ["train"], tok, max_seq_length=SEQ)
+    cfg = BertConfig(vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=SEQ, type_vocab_size=4)
+    agent = ViewpointAgent(cfg, runtime, feature_dim=world.scene_feat_dim,
+                           episode_len=EP_LEN, rnn_dim=24, encoder_hidden_size=16,
+                           aemb=8, max_seq_length=SEQ, learning_rate=1e-3)
+    batcher = NavEpisodeBatcher(inst, runtime, batch_size=4, path_type="trusted_path")
+    return agent, batcher, runtime, world
+
+
+def test_sample_teacher_columns(setup):
+    agent, batcher, runtime, world = setup
+    batch = batcher.with_sample_teacher(next(batcher.train_batches(1)))
+    tc = batch["teacher_col"]
+    for i, scan in enumerate(batch["scans"]):
+        g = world.graphs[scan]
+        off = int(batch["scan_offset"][i])
+        goal = int(batch["goal_rows"][i]) - off
+        for v in range(g.num_viewpoints):
+            expect = g.next_hop[v, goal]
+            got = tc[i, v]
+            if v == goal:
+                assert got == goal + off
+            else:
+                assert got == expect + off
+
+
+def test_sample_training_decreases_loss(setup):
+    agent, batcher, _, _ = setup
+    state = agent.init_state()
+    step = agent.sample_train_step_fn("sample")
+    batch = batcher.with_sample_teacher(next(batcher.train_batches(1)))
+    jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    losses = []
+    for _ in range(15):
+        state, loss = step(state, jb)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_argmax_feedback_variant_runs(setup):
+    agent, batcher, _, _ = setup
+    state = agent.init_state()
+    step = agent.sample_train_step_fn("argmax")
+    batch = batcher.with_sample_teacher(next(batcher.train_batches(1)))
+    jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    state, loss = step(state, jb)
+    assert np.isfinite(float(loss))
+
+
+def test_sampled_rollout_reaches_goals_after_training(setup):
+    """Student-forced training must still produce goal-reaching argmax
+    rollouts on the training set (the reference's default training mode)."""
+    agent, batcher, runtime, _ = setup
+    state = agent.init_state()
+    step = agent.sample_train_step_fn("sample")
+    batches = [batcher.with_sample_teacher(b) for b in batcher.train_batches(3)]
+    jbs = [{k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
+           for b in batches]
+    for _ in range(120):
+        for jb in jbs:
+            state, _ = step(state, jb)
+    hits = total = 0
+    for b in batches:
+        for i, tr in enumerate(agent.rollout_student(state["params"], b,
+                                                     feedback="argmax")):
+            total += 1
+            _, goal_vp = runtime.row_to_id(int(b["goal_rows"][i]))
+            hits += tr["path"][-1][0] == goal_vp
+    assert hits / total > 0.4, f"{hits}/{total}"

@@ -69,6 +69,13 @@ class NavEpisodeBatcher:
                 batch["goal_rows"], episode_len))
         return batch
 
+    def with_sample_teacher(self, batch: dict) -> dict:
+        """Device-side teacher columns for student-forced training."""
+        batch = dict(batch)
+        batch.update(self.runtime.sample_rollout_arrays(
+            batch["scans"], batch["goal_rows"]))
+        return batch
+
     def with_turn_teacher(self, batch: dict, episode_len: int) -> dict:
         batch = dict(batch)
         batch.update(

@@ -264,6 +264,29 @@ class NavRuntime:
         return {"cur_row": cur_row, "view": view, "teacher": teacher,
                 "fwd_ok": fwd_ok, "active": active}
 
+    def sample_rollout_arrays(self, scans: list[str], goal_rows) -> dict:
+        """Per-item device-side teacher columns for student-forced training.
+
+        For a fixed goal, the shortest-path teacher from any viewpoint v is
+        one column of the next-hop table: teacher_col[i, v] = global row of
+        the next hop from scan-local v toward goal_i.  With this on device,
+        sampled (student-forced) rollouts compute their teacher supervision
+        inside the jitted scan — no host in the loop (reference
+        feedback='sample' training, agent.py:406-425).
+        """
+        b = len(goal_rows)
+        v_max = max(g.num_viewpoints for g in self.graphs.values())
+        teacher_col = np.full((b, v_max), -1, np.int32)
+        offsets = np.zeros(b, np.int32)
+        for i, scan in enumerate(scans):
+            g = self.graphs[scan]
+            off = self.feat_table.scan_offsets[scan]
+            goal = int(goal_rows[i]) - off
+            col = g.next_hop[:, goal].astype(np.int32)
+            teacher_col[i, : g.num_viewpoints] = np.where(col >= 0, col + off, -1)
+            offsets[i] = off
+        return {"teacher_col": teacher_col, "scan_offset": offsets}
+
     def teacher_rollout_arrays(self, scans: list[str], start_rows: np.ndarray,
                                start_views: np.ndarray, goal_rows: np.ndarray,
                                episode_len: int, ignore_id: int = -100):

@@ -211,6 +211,97 @@ class ViewpointAgent:
         (_, _), step_losses = jax.lax.scan(step, (h_t, c_t), xs)
         return jnp.sum(step_losses) / t_len  # agent.py:472
 
+    def _sampled_episode_loss(self, params, batch, rng, deterministic,
+                              feedback: str = "sample"):
+        """Student-forced (sample/argmax) episode, FULLY on device.
+
+        The agent follows its own sampled actions while every step is
+        supervised by the shortest-path teacher at the visited state
+        (reference feedback='sample' training, agent.py:406-425).  The
+        teacher comes from per-item next-hop columns (NavRuntime
+        .sample_rollout_arrays), so the whole rollout — sampling, state
+        transitions, supervision — runs inside one jitted lax.scan.
+        """
+        rt = self.runtime
+        ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
+        rng, enc_rng = jax.random.split(rng)
+        ctx, h_t, c_t = self.encoder.apply(
+            params["encoder"], ids, lengths, token_type_ids=segs,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": enc_rng},
+        )
+        ctx_mask = jnp.arange(ids.shape[1])[None, :] >= lengths[:, None]
+        t_len = self.episode_len
+        step_rngs = jax.random.split(rng, t_len)
+        b = ids.shape[0]
+        goal = jnp.asarray(batch["goal_rows"])
+        teacher_col = jnp.asarray(batch["teacher_col"])  # (B, Vmax) global rows
+        offset = jnp.asarray(batch["scan_offset"])  # (B,)
+        b_idx = jnp.arange(b)
+
+        def step(carry, xs):
+            h1, c, cur_row, view, ended = carry
+            step_rng, dropout_rng = jax.random.split(xs)
+            a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
+            h_new, c_new, logit, h_tilde = self.decoder.apply(
+                params["decoder"], a_t, f_t, cand_feat, h1, c, ctx, ctx_mask,
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": dropout_rng},
+            )
+            logit = jnp.where(cand_mask, NEG_INF, logit)
+            # On-device teacher: next-hop column lookup; stop slot at goal.
+            counts = rt.count[cur_row]
+            at_goal = cur_row == goal
+            t_next = teacher_col[b_idx, cur_row - offset]
+            match = rt.nbr[cur_row] == t_next[:, None]  # (B, K)
+            slot = jnp.argmax(match, axis=-1)
+            teacher = jnp.where(at_goal, counts, slot)
+            active = (~ended).astype(jnp.float32)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logit.astype(jnp.float32), teacher)
+            n = jnp.maximum(jnp.sum(active), 1.0)
+            step_loss = jnp.sum(ce * active) / n
+            # Student action: sample/argmax over the masked logits.
+            if feedback == "sample":
+                a = jax.random.categorical(step_rng, logit.astype(jnp.float32))
+            else:
+                a = jnp.argmax(logit, axis=-1)
+            stop = a >= counts
+            new_ended = ended | stop
+            move = (~ended) & (~stop)
+            safe_a = jnp.minimum(a, rt.max_candidates - 1)
+            nxt_row = rt.nbr[cur_row, safe_a]
+            nxt_view = rt.point[cur_row, safe_a]
+            cur_row2 = jnp.where(move, nxt_row, cur_row).astype(jnp.int32)
+            view2 = jnp.where(move, nxt_view, view).astype(jnp.int32)
+            return (h_tilde, c_new, cur_row2, view2, new_ended), step_loss
+
+        init = (h_t, c_t, jnp.asarray(batch["start_rows"]),
+                jnp.asarray(batch["start_views"]), jnp.zeros(b, bool))
+        (_, _, final_row, _, _), step_losses = jax.lax.scan(step, init, step_rngs)
+        return jnp.sum(step_losses) / t_len
+
+    def sample_train_step_fn(self, feedback: str = "sample"):
+        """Train step for student-forced training (reference default
+        --feedback_method sample)."""
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
+        def train_step(state, batch):
+            rng, step_rng = jax.random.split(state["rng"])
+
+            def loss_fn(p):
+                return self._sampled_episode_loss(p, batch, step_rng, False, feedback)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state, "rng": rng}, loss
+
+        def run(state, batch):
+            return train_step(state, self.trim_batch(batch))
+
+        return run
+
     def train_step_fn(self):
         if self._train_step is not None:
             return self._train_step

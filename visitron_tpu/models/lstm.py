@@ -87,7 +87,8 @@ def masked_lstm_scan(params, inputs, lengths, dtype=None):
         return (h_new, c_new), h_new * v
 
     (h, c), ys = jax.lax.scan(
-        body, (h0, c0), (gates_x.transpose(1, 0, 2), mask.transpose(1, 0))
+        body, (h0, c0), (gates_x.transpose(1, 0, 2), mask.transpose(1, 0)),
+        unroll=8,  # amortize scan overhead on TPU; body is tiny
     )
     return ys.transpose(1, 0, 2), (h, c)
 

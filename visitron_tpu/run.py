@@ -31,7 +31,10 @@ def run_viewpoint(cfg: RunConfig, do_val: bool = True):
     trainer = ViewpointTrainer(cfg, ws)
     state = trainer.train()
     if do_val:
-        trainer.val()
+        # --eval_iters selects checkpoint iterations; [-1] means all
+        # (reference train.py:182-189).
+        steps = None if cfg.eval_iters == [-1] else cfg.eval_iters
+        trainer.val(steps=steps)
     return state
 
 

@@ -97,7 +97,13 @@ class ViewpointTrainer:
                 start_it, {"params": state["params"], "opt_state": state["opt_state"]})
             state = {**state, **restored}
             self.logger.info("resumed from checkpoint-%d", start_it)
-        step = self.agent.train_step_fn()
+        # feedback_method selects the rollout policy during training
+        # (reference default: sample; params.py:201-207).
+        student = cfg.feedback_method in ("sample", "argmax")
+        if student:
+            step = self.agent.sample_train_step_fn(cfg.feedback_method)
+        else:
+            step = self.agent.train_step_fn()
         metrics = MetricsLogger(cfg.output_dir, "train")
         losses = []
         remaining = cfg.num_iterations - start_it
@@ -105,8 +111,11 @@ class ViewpointTrainer:
             "compiling the train step (first iteration; can take minutes on "
             "remote-attached accelerators)...")
         profiling = False
+        episode_len = None if student else cfg.episode_len
         for i, batch in enumerate(
-                batcher.train_batches(remaining, episode_len=cfg.episode_len)):
+                batcher.train_batches(remaining, episode_len=episode_len)):
+            if student:
+                batch = batcher.with_sample_teacher(batch)
             it = start_it + i + 1
             if profile_steps and i == 1:  # skip compile step
                 jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
