@@ -177,6 +177,12 @@ class ClassifierAgent:
             if cur + 1 < len(events) and events[cur + 1] <= t:
                 cur += 1
             step2event[t] = cur
+        # Length-bucket the snapshots (128-multiples) — masking invariance
+        # makes this exact while skipping all-pad encoder work.
+        max_len = int(lang_lens.max())
+        s_trim = min(s, -(-max_len // 128) * 128)
+        lang_ids = lang_ids[:, :, :s_trim]
+        lang_segs = lang_segs[:, :, :s_trim]
         return {
             "cur_row": nav["cur_row"], "view": nav["view"],
             "teacher": nav["teacher"], "active": nav["active"],
