@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 BASELINE_ACTIONS_PER_SEC_PER_CHIP = 25.0
-BATCH = 32
+BATCH = 64
 EPISODE_LEN = 10
 SEQ = 512
 FEAT_DIM = 2048
@@ -58,7 +58,7 @@ def main() -> None:
     tok = WordPieceTokenizer(build_wordpiece_vocab(
         [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=4096))
     with tempfile.TemporaryDirectory() as d:
-        root = world.write_task_data(d, counts={"train": 64})
+        root = world.write_task_data(d, counts={"train": 128})
         instances = build_nav_instances(root, ["train"], tok, max_seq_length=SEQ)
 
     cfg = BertConfig(vocab_size=len(tok), max_position_embeddings=SEQ,
