@@ -380,6 +380,77 @@ class ViewpointAgent:
         self._student_step[key] = step
         return step
 
+    def _device_rollout_fn(self, feedback: str):
+        """Fully on-device student rollout: encode + T decode/act steps in one
+        jit; returns per-step (row, view, moved) arrays.  Used by the eval
+        path when no visited-masking is needed (submit=False)."""
+        key = ("device_rollout", feedback)
+        if key in self._student_step:
+            return self._student_step[key]
+        rt = self.runtime
+
+        @jax.jit
+        def rollout(params, ids, segs, lengths, start_rows, start_views, rng):
+            ctx, h_t, c_t = self.encoder.apply(
+                params["encoder"], ids, lengths, token_type_ids=segs,
+                deterministic=True)
+            ctx_mask = jnp.arange(ids.shape[1])[None, :] >= lengths[:, None]
+            b = ids.shape[0]
+            step_rngs = jax.random.split(rng, self.episode_len)
+
+            def step(carry, step_rng):
+                h1, c, cur_row, view, ended = carry
+                a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
+                h_new, c_new, logit, h_tilde = self.decoder.apply(
+                    params["decoder"], a_t, f_t, cand_feat, h1, c, ctx, ctx_mask,
+                    deterministic=True)
+                logit = jnp.where(cand_mask, NEG_INF, logit)
+                if feedback == "argmax":
+                    a = jnp.argmax(logit, axis=-1)
+                else:
+                    a = jax.random.categorical(step_rng, logit.astype(jnp.float32))
+                counts = rt.count[cur_row]
+                stop = a >= counts
+                moved = (~ended) & (~stop)
+                safe_a = jnp.minimum(a, rt.max_candidates - 1)
+                cur_row2 = jnp.where(moved, rt.nbr[cur_row, safe_a], cur_row).astype(jnp.int32)
+                view2 = jnp.where(moved, rt.point[cur_row, safe_a], view).astype(jnp.int32)
+                new_ended = ended | stop
+                return (h_tilde, c_new, cur_row2, view2, new_ended), (cur_row2, view2, moved)
+
+            init = (h_t, c_t, start_rows, start_views, jnp.zeros(b, bool))
+            _, (rows, views, moved) = jax.lax.scan(step, init, step_rngs)
+            return rows.T, views.T, moved.T  # (B, T)
+
+        self._student_step[key] = rollout
+        return rollout
+
+    def rollout_student_on_device(self, params, batch, feedback: str = "argmax",
+                                  rng=None):
+        """Trajectory rollout with ONE device dispatch per batch."""
+        rt = self.runtime
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        batch = self.trim_batch(batch)
+        rollout = self._device_rollout_fn(feedback)
+        rows, views, moved = rollout(
+            params, jnp.asarray(batch["ids"]), jnp.asarray(batch["segs"]),
+            jnp.asarray(batch["lengths"]), jnp.asarray(batch["start_rows"]),
+            jnp.asarray(batch["start_views"]), rng)
+        rows, views, moved = np.asarray(rows), np.asarray(views), np.asarray(moved)
+        traj = []
+        for i in range(rows.shape[0]):
+            scan, vp = rt.row_to_id(int(batch["start_rows"][i]))
+            v0 = int(batch["start_views"][i])
+            path = [(vp, geo.heading_of_view(v0), geo.elevation_of_view(v0))]
+            for t in range(rows.shape[1]):
+                if moved[i, t]:
+                    scan, vp = rt.row_to_id(int(rows[i, t]))
+                    path.append((vp, geo.heading_of_view(int(views[i, t])),
+                                 geo.elevation_of_view(int(views[i, t]))))
+            traj.append({"inst_idx": batch["inst_idx"][i], "path": path})
+        return traj
+
     def rollout_student(self, params, batch, feedback: str = "argmax",
                         use_dropout: bool = False, rng=None, submit: bool = False):
         """Run a full student-forced episode; returns trajectories.
@@ -454,8 +525,14 @@ class ViewpointAgent:
         rng = rng if rng is not None else jax.random.PRNGKey(1)
         for batch in batches:
             rng, r = jax.random.split(rng)
-            for traj in self.rollout_student(params, batch, feedback=feedback,
-                                             rng=r, submit=submit):
+            if submit:
+                # Visited-mask bookkeeping needs the host in the loop.
+                trajs = self.rollout_student(params, batch, feedback=feedback,
+                                             rng=r, submit=True)
+            else:
+                trajs = self.rollout_student_on_device(params, batch,
+                                                       feedback=feedback, rng=r)
+            for traj in trajs:
                 if traj["inst_idx"] in self.results:
                     looped = True
                 else:
