@@ -53,9 +53,10 @@ class NavEpisodeBatcher:
             out["segs"][i] = it.segment_ids
             out["lengths"][i] = it.length
             path = it.path(self.path_type)
-            row, view = rt.start_state(
-                it.scan, path[0], it.start_pano["heading"],
-                it.start_pano.get("elevation", 0.0))
+            # Episodes always start at elevation 0 regardless of the dataset's
+            # start_pano elevation (reference EnvBatch.newEpisodes passes
+            # [0]*batch, data_loader.py:52).
+            row, view = rt.start_state(it.scan, path[0], it.start_pano["heading"], 0.0)
             out["start_rows"][i] = row
             out["start_views"][i] = view
             out["goal_rows"][i] = rt.row(it.scan, path[-1])

@@ -131,9 +131,9 @@ class ClassifierAgent:
         views = np.zeros(b, np.int32)
         goals = np.zeros(b, np.int32)
         for i, it in enumerate(items):
+            # Elevation always starts at 0 (reference newEpisodes parity).
             starts[i], views[i] = rt.start_state(
-                it.scan, it.player_path[0], it.start_pano["heading"],
-                it.start_pano.get("elevation", 0.0))
+                it.scan, it.player_path[0], it.start_pano["heading"], 0.0)
             goals[i] = rt.row(it.scan, it.player_path[-1])
         scans = [it.scan for it in items]
         nav = rt.teacher_rollout_arrays(scans, starts, views, goals, t_len)
@@ -155,9 +155,12 @@ class ClassifierAgent:
         for t in range(1, t_len):
             if any(t in it.request_locations for it in items):
                 events.append(t)
-        events = events[: self.max_encode_events]
         s = items[0].token_ids.shape[1]
-        e_max = self.max_encode_events
+        # Every event is kept (the reference re-encodes at every request
+        # timestep); e_max rounds up to a multiple of max_encode_events so
+        # only a bounded number of jit shape variants exist.
+        unit = max(self.max_encode_events, 1)
+        e_max = -(-len(events) // unit) * unit
         lang_ids = np.zeros((e_max, b, s), np.int32)
         lang_segs = np.zeros((e_max, b, s), np.int32)
         lang_lens = np.ones((e_max, b), np.int32)

@@ -119,13 +119,20 @@ class NavRuntime:
         return self.feat_table.row(scan, viewpoint)
 
     def row_to_id(self, row: int) -> tuple[str, str]:
-        """Global row -> (scan, viewpointId)."""
-        for scan in sorted(self.graphs):
-            off = self.feat_table.scan_offsets[scan]
-            g = self.graphs[scan]
-            if off <= row < off + g.num_viewpoints:
-                return scan, g.viewpoints[row - off]
-        raise IndexError(row)
+        """Global row -> (scan, viewpointId); O(1) via a flat lookup table."""
+        table = getattr(self, "_row_ids", None)
+        if table is None:
+            table = [None] * self.feat_table.table.shape[0]
+            for scan in self.graphs:
+                off = self.feat_table.scan_offsets[scan]
+                g = self.graphs[scan]
+                for i, vp in enumerate(g.viewpoints):
+                    table[off + i] = (scan, vp)
+            self._row_ids = table
+        got = table[row]
+        if got is None:
+            raise IndexError(row)
+        return got
 
     def start_state(self, scan: str, viewpoint: str, heading: float,
                     elevation: float = 0.0) -> tuple[int, int]:

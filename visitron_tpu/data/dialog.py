@@ -90,6 +90,7 @@ class DialogSequence:
     segment_ids: np.ndarray  # (max_seq_length,) int32
     length: int  # number of real (non-pad) tokens
     tokens: list[str]  # unpadded token strings
+    region_span: tuple[int, int] | None = None  # [start, end) of region tokens
 
     @property
     def attention_mask(self) -> np.ndarray:
@@ -144,9 +145,12 @@ def build_dialog_sequence(
         add_target()
     tokens.append(tokenizer.sep_token)
     segments.append(SEGMENT_IDS["sep"])
+    region_span = None
     if region_tokens is not None:
+        region_start = len(tokens)
         tokens.extend(region_tokens)
         segments.extend([SEGMENT_IDS["sep"]] * len(region_tokens))
+        region_span = (region_start, len(tokens))
         tokens.append(tokenizer.sep_token)
         segments.append(SEGMENT_IDS["sep"])
 
@@ -156,10 +160,14 @@ def build_dialog_sequence(
     if len(tokens) > max_seq_length - 1:
         tokens = tokens[: max_seq_length - 1]
         segments = segments[: max_seq_length - 1]
+        if region_span is not None:
+            region_span = (min(region_span[0], len(tokens)),
+                           min(region_span[1], len(tokens)))
     length = len(tokens)
     ids = tokenizer.convert_tokens_to_ids(tokens)
     token_ids = np.full(max_seq_length, tokenizer.pad_token_id, dtype=np.int32)
     token_ids[:length] = ids
     segment_ids = np.full(max_seq_length, SEGMENT_IDS["pad"], dtype=np.int32)
     segment_ids[:length] = segments
-    return DialogSequence(token_ids=token_ids, segment_ids=segment_ids, length=length, tokens=tokens)
+    return DialogSequence(token_ids=token_ids, segment_ids=segment_ids,
+                          length=length, tokens=tokens, region_span=region_span)

@@ -115,9 +115,10 @@ class PretrainDataset:
         token_classes = None
         if self.mtp:
             token_classes = np.full(self.max_seq_length, -1, np.int32)
-            # Region-token span: the slice before the final [SEP].
-            start = seq.length - 1 - len(region_tokens)
-            for i, tokstr in enumerate(seq.tokens[start : seq.length - 1]):
+            # Region-token span tracked by construction (robust under
+            # truncation of the sequence tail).
+            start, end = seq.region_span
+            for i, tokstr in enumerate(seq.tokens[start:end]):
                 token_classes[start + i] = self.class2id.get(tokstr, -1)
         return PretrainExample(
             inst_idx=str(rec["inst_idx"]),

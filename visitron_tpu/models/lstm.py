@@ -114,5 +114,9 @@ class LSTM(nn.Module):
         rev = jnp.take_along_axis(inputs, idx[:, :, None], axis=1)
         ys_b, (h_b, c_b) = masked_lstm_scan(bwd, rev, lengths, self.dtype)
         ys_b = jnp.take_along_axis(ys_b, idx[:, :, None], axis=1)
+        # The clip-based un-reversal gathers step 0 into pad slots; re-zero
+        # them to keep the pack_padded contract (outputs zero at pads).
+        pad_mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(ys_b.dtype)
+        ys_b = ys_b * pad_mask[:, :, None]
         ys = jnp.concatenate([ys_f, ys_b], axis=-1)
         return ys, (jnp.concatenate([h_f, h_b], -1), jnp.concatenate([c_f, c_b], -1))

@@ -272,11 +272,13 @@ def make_simulator(
 ):
     """Create a configured simulator; uses the C++ engine when available."""
     if prefer_native:
+        import subprocess
+
         try:
             from visitron_tpu.sim.native import NativeGraphSimulator
 
             sim = NativeGraphSimulator(graphs)
-        except (ImportError, OSError):
+        except (ImportError, OSError, subprocess.CalledProcessError):
             sim = GraphSimulator(graphs)
     else:
         sim = GraphSimulator(graphs)

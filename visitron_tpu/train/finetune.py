@@ -181,16 +181,21 @@ class ViewpointTrainer:
         steps = steps if steps is not None else (self.ckpt.steps() or [None])
         metrics = MetricsLogger(cfg.output_dir, "val")
         out = {}
+        # Val data is checkpoint-independent: build/tokenize once per split.
+        split_assets = {}
+        for split in splits:
+            instances = self._instances([split])
+            split_assets[split] = (
+                instances, self._batcher(instances, cfg.per_gpu_eval_batch_size))
+        template_params = self.agent.init_state()["params"]
         for ckpt_step in steps:
             if ckpt_step is None:
-                state = self.agent.init_state()
-                params = state["params"]
+                params = template_params
             else:
-                template = {"params": self.agent.init_state()["params"]}
-                params = self.ckpt.restore(ckpt_step, template)["params"]
+                params = self.ckpt.restore(
+                    ckpt_step, {"params": template_params})["params"]
             for split in splits:
-                instances = self._instances([split])
-                batcher = self._batcher(instances, cfg.per_gpu_eval_batch_size)
+                instances, batcher = split_assets[split]
                 # Loss pass: teacher-forced with dropout (train.py:318-320).
                 eval_loss = self.agent.eval_loss_fn(use_dropout=True)
                 losses = []

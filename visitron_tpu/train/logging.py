@@ -38,7 +38,8 @@ class MetricsLogger:
         self.enabled = is_main_process
         self.output_dir = output_dir
         self.csv_path = os.path.join(output_dir, f"{name}.csv")
-        self._fields: list[str] | None = None
+        self._rows: list[dict] = []
+        self._fields: list[str] = []
         self._tb = None
         if self.enabled:
             os.makedirs(output_dir, exist_ok=True)
@@ -55,18 +56,17 @@ class MetricsLogger:
             return
         row = {("%s%s" % (prefix, k)): v for k, v in metrics.items()}
         row["step"] = step if step is not None else time.time()
-        if self._fields is None:
-            self._fields = sorted(row.keys())
-            write_header = not os.path.exists(self.csv_path)
-            with open(self.csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
-                if write_header:
-                    w.writeheader()
-                w.writerow(row)
-        else:
-            with open(self.csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
-                w.writerow(row)
+        # Rows are buffered and the file rewritten so late-appearing keys
+        # (e.g. a second split's prefix) are never dropped.
+        self._rows.append(row)
+        for k in row:
+            if k not in self._fields:
+                self._fields = sorted(set(self._fields) | set(row.keys()))
+                break
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(self._rows)
         if self._tb is not None and step is not None:
             for k, v in row.items():
                 if isinstance(v, (int, float)) and k != "step":
