@@ -183,8 +183,14 @@ class PretrainDataset:
             loc = np.concatenate([loc, np.zeros((m - n, loc.shape[1]), loc.dtype)], 0)
         return img, loc, n
 
-    def batch(self, indices) -> dict[str, np.ndarray]:
-        """Assemble a fixed-shape training batch for the given example indices."""
+    def batch(self, indices, bucket: int = 64) -> dict[str, np.ndarray]:
+        """Assemble a fixed-shape training batch for the given example indices.
+
+        The image sequence is length-bucketed: padded to the batch's max
+        region count rounded up to a ``bucket`` multiple (<= max_img_seq_length)
+        instead of always max_img_seq_length — masked positions are inert, so
+        this is exact while cutting joint-encoder work (typical NDH panoramas
+        carry 180 regions vs the 256 cap)."""
         exs = [self.examples[i] for i in indices]
         s, m = self.max_seq_length, self.max_img_seq_length
         b = len(exs)
@@ -198,9 +204,23 @@ class PretrainDataset:
             "img_location_embeddings": np.zeros((b, m, 128), np.float32),
             "next_action": np.zeros((b,), np.int32),
         }
+        n_imgs = []
+        feats = []
+        for ex in exs:
+            img, loc, n_img = self._img_features(ex)
+            feats.append((img, loc))
+            n_imgs.append(n_img)
+        m_eff = min(m, -(-max(max(n_imgs), 1) // bucket) * bucket)
+        if m_eff < m:
+            m = m_eff
+            for k in ["attention_mask", "labels", "token_labels"]:
+                out[k] = out[k][:, : s + m]
+            out["img_feats"] = out["img_feats"][:, :m]
+            out["img_location_embeddings"] = out["img_location_embeddings"][:, :m]
         for i, ex in enumerate(exs):
             inputs, labels = self._mask_tokens(ex.token_ids, ex.token_classes)
-            img, loc, n_img = self._img_features(ex)
+            img, loc = feats[i][0][:m], feats[i][1][:m]
+            n_img = min(n_imgs[i], m)
             out["input_ids"][i] = inputs
             out["token_type_ids"][i] = ex.segment_ids
             out["attention_mask"][i, : ex.length] = 1
