@@ -312,8 +312,36 @@ def main(argv=None):
         run_classifier(cfg)
     elif task == "pretrain":
         run_pretrain(cfg)
+    elif task == "datagen":
+        run_datagen(cfg)
     else:
         raise SystemExit(f"unknown task {task!r}; see --help")
+
+
+def run_datagen(cfg: RunConfig):
+    """Write per-path-step pretraining JSONs (reference
+    scripts/generate_pretraining_data.py, minus the 8-process simulator pool —
+    the closed-form walk needs none)."""
+    from visitron_tpu.pipelines.pretrain_datagen import write_pretrain_data
+    from visitron_tpu.train.logging import setup_logger
+
+    ws = _workspace_for_nav(cfg)
+    logger = setup_logger(output_dir=cfg.output_dir)
+    if ws.synthetic is not None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="visitron_synth_")
+        ws.synthetic.write_task_data(root)
+    else:
+        root = cfg.data_root
+    tables = {s: ws.runtime.tables[s] for s in ws.graphs}
+    for ds, flag in (("NDH", cfg.add_ndh_data), ("R2R", cfg.add_r2r_data),
+                     ("R4R", cfg.add_r4r_data), ("RxR", cfg.add_rxr_data)):
+        if not flag:
+            continue
+        splits = ["train"] if ds == "RxR" else ["train", "val_seen", "val_unseen"]
+        out = write_pretrain_data(root, splits, ds, ws.graphs, tables)
+        logger.info("wrote %s pretraining data under %s", ds, out)
 
 
 if __name__ == "__main__":
