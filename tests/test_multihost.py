@@ -1,0 +1,108 @@
+"""Multi-host data parallelism: two real processes, one global SPMD mesh.
+
+Spawns two CPU processes (2 virtual devices each) joined through
+``run._maybe_init_multihost`` (the torch.distributed.launch replacement,
+reference run_scripts/*:4), builds the dp=4 mesh spanning both, shards each
+host's half of the global batch with ``parallel.shard_batch``
+(DistributedSampler parity), and runs real viewpoint train steps.  Both
+processes must see the same (replicated) loss.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:%PORT%"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from visitron_tpu import run as runner
+runner._maybe_init_multihost()
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from visitron_tpu.agents import NavRuntime, ViewpointAgent
+from visitron_tpu.agents.batcher import NavEpisodeBatcher
+from visitron_tpu.data import (SceneFeatureTable, WordPieceTokenizer,
+                               build_wordpiece_vocab, build_nav_instances)
+from visitron_tpu.models import BertConfig
+from visitron_tpu.parallel import make_mesh
+from visitron_tpu.testing import SyntheticWorld
+from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
+import tempfile
+
+world = SyntheticWorld(seed=5, num_scans=1, viewpoints_per_scan=16,
+                       scene_feat_dim=32)
+table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+runtime = NavRuntime.build(world.graphs, table)
+tok = WordPieceTokenizer(build_wordpiece_vocab(
+    [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=512))
+with tempfile.TemporaryDirectory() as d:
+    world.write_task_data(d, counts={"train": 8})
+    instances = build_nav_instances(d, ["train"], tok, max_seq_length=64)
+
+mesh = make_mesh(dp=4, tp=1)  # spans both processes
+cfg = BertConfig(vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+                 num_attention_heads=4, intermediate_size=64,
+                 max_position_embeddings=64, type_vocab_size=4)
+agent = ViewpointAgent(cfg, runtime, feature_dim=32, episode_len=4,
+                       rnn_dim=16, encoder_hidden_size=16, aemb=8,
+                       max_seq_length=64, mesh=mesh)
+# Per-host strided instance shard + per-host half of the global batch 4.
+batcher = NavEpisodeBatcher(instances, runtime, batch_size=2,
+                            host_id=jax.process_index(), num_hosts=2)
+state = agent.init_state()
+step = agent.train_step_fn()
+losses = []
+for batch in batcher.train_batches(2, episode_len=4):
+    jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    state, loss = step(state, jb)
+    losses.append(float(loss))
+assert all(np.isfinite(losses)), losses
+print(f"RESULT {jax.process_index()} {losses[0]:.6f} {losses[1]:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train(tmp_path):
+    import socket
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = _WORKER.replace("%PORT%", str(port))
+    path = tmp_path / "worker.py"
+    path.write_text(script)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(path), str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=os.getcwd())
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, l0, l1 = line.split()
+                results[pid] = (float(l0), float(l1))
+    assert set(results) == {"0", "1"}, outs
+    # Replicated loss: both hosts computed the same global value.
+    assert results["0"] == results["1"], results

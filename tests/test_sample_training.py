@@ -75,6 +75,34 @@ def test_argmax_feedback_variant_runs(setup):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize("feedback", ["topk", "nucleus", "temperature", "penalty"])
+def test_extended_feedback_strategies_train(setup, feedback):
+    """Every extended decoding strategy (next_decoder_input parity,
+    utils.py:381-427) must actually train — not silently fall back to
+    teacher forcing."""
+    agent, batcher, _, _ = setup
+    agent.temperature = 0.7
+    try:
+        state = agent.init_state()
+        step = agent.sample_train_step_fn(feedback)
+        batch = batcher.with_sample_teacher(next(batcher.train_batches(1)))
+        jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+        state, loss = step(state, jb)
+        assert np.isfinite(float(loss))
+    finally:
+        agent.temperature = 1.0
+
+
+def test_extended_feedback_rollout(setup):
+    """Student rollouts accept the extended strategies too."""
+    agent, batcher, _, _ = setup
+    state = agent.init_state()
+    batch = next(batcher.train_batches(1))
+    for feedback in ("topk", "nucleus", "temperature", "penalty"):
+        trajs = agent.rollout_student(state["params"], batch, feedback=feedback)
+        assert len(trajs) == len(batch["scans"])
+
+
 def test_sampled_rollout_reaches_goals_after_training(setup):
     """Student-forced training must still produce goal-reaching argmax
     rollouts on the training set (the reference's default training mode)."""

@@ -105,12 +105,114 @@ def test_run_turn_based_and_classifier_debug(tmp_path, monkeypatch):
                           detector_classes=cfg_.detector_classes)
 
     monkeypatch.setattr(wsmod.Workspace, "_bert_config", staticmethod(tiny))
-    cfg = _cfg(tmp_path, path_type="player_path")
-    # Shorten turn-based episodes for test speed.
-    object.__setattr__  # noqa: B018 (RunConfig is a plain dataclass; mutate ok)
-    cfg2 = _cfg(tmp_path, path_type="planner_path")
+    # Distinct output dirs: each trainer's val enumerates checkpoint-* under
+    # its own output_dir.
+    cfg2 = _cfg(tmp_path, path_type="planner_path",
+                output_dir=str(tmp_path / "tb"))
     state = runner.run_turn_based(cfg2)
     assert state is not None
+    assert os.path.exists(os.path.join(cfg2.output_dir, "val.csv"))
     state = runner.run_classifier(_cfg(tmp_path, path_type="planner_path",
-                                       num_iterations=2))
+                                       num_iterations=2,
+                                       output_dir=str(tmp_path / "cls")))
     assert state is not None
+
+
+def _tiny_bert(monkeypatch):
+    from visitron_tpu.models import BertConfig
+    import visitron_tpu.train.workspace as wsmod
+
+    def tiny(cfg_, tokenizer):
+        return BertConfig(vocab_size=len(tokenizer), hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=64, max_position_embeddings=64,
+                          type_vocab_size=4, img_feature_dim=cfg_.img_feature_dim,
+                          detector_classes=cfg_.detector_classes)
+
+    monkeypatch.setattr(wsmod.Workspace, "_bert_config", staticmethod(tiny))
+
+
+def test_cli_overrides_include_explicit_defaults():
+    """A flag explicitly set to its default value still overrides a config
+    file; unpassed flags do not."""
+    ov = RunConfig.cli_overrides(["--num_iterations", "20000", "--add_r2r_data"])
+    assert ov == {"num_iterations": 20000, "add_r2r_data": True}
+    assert RunConfig.cli_overrides([]) == {}
+    import dataclasses
+    base = RunConfig(num_iterations=7)
+    assert dataclasses.replace(base, **ov).num_iterations == 20000
+
+
+@pytest.mark.slow
+def test_run_viewpoint_mesh_cli(tmp_path, monkeypatch):
+    """--mesh_dp 8 from the CLI puts nav fine-tuning on the device mesh:
+    trained params replicated over all 8 (virtual) devices."""
+    import jax
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, mesh_dp=8, num_iterations=2, saving_steps=2,
+               feedback_method="teacher")
+    state = runner.run_viewpoint(cfg, do_val=False)
+    leaves = jax.tree.leaves(state["params"])
+    assert all(l.sharding.is_fully_replicated for l in leaves)
+    assert all(len(l.sharding.device_set) == 8 for l in leaves)
+
+
+@pytest.mark.slow
+def test_classifier_inits_from_nav_checkpoint(tmp_path, monkeypatch):
+    """run_classifier with --model_name_or_path pointing at a fine-tuned nav
+    run loads its encoder + shared decoder weights; the question head stays
+    fresh (train_classifier.py:129, classifier/agent.py:699-711)."""
+    import flax
+    import jax
+    from visitron_tpu import run as runner
+    from visitron_tpu.train.classifier import ClassifierTrainer
+
+    _tiny_bert(monkeypatch)
+    nav_dir = str(tmp_path / "nav")
+    nav_cfg = _cfg(tmp_path, output_dir=nav_dir, num_iterations=2,
+                   saving_steps=2, feedback_method="teacher")
+    nav_state = runner.run_viewpoint(nav_cfg, do_val=False)
+
+    cls_cfg = _cfg(tmp_path, output_dir=str(tmp_path / "cls"),
+                   model_name_or_path=nav_dir, num_iterations=2)
+    ws = runner._workspace_for_nav(cls_cfg)
+    trainer = ClassifierTrainer(cls_cfg, ws)
+    state = trainer.init_state()
+
+    nav_dec = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, nav_state["params"]["decoder"]["params"]))
+    cls_dec = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, state["params"]["decoder"]["params"]))
+    shared = [k for k in nav_dec if k in cls_dec]
+    assert shared, "no shared decoder keys"
+    for k in shared:
+        np.testing.assert_array_equal(nav_dec[k], cls_dec[k])
+    fresh = [k for k in cls_dec if k not in nav_dec]
+    assert any("question_linear" in "/".join(k) for k in fresh)
+    # Encoder grafted wholesale.
+    nav_enc = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, nav_state["params"]["encoder"]))
+    cls_enc = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, state["params"]["encoder"]))
+    assert set(nav_enc) == set(cls_enc)
+    for k in nav_enc:
+        np.testing.assert_array_equal(nav_enc[k], cls_enc[k])
+
+
+@pytest.mark.slow
+def test_run_pretrain_resume(tmp_path, monkeypatch):
+    """Interrupted pretraining resumes at the recorded step with restored
+    optimizer state instead of restarting epoch 0."""
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1)
+    runner.run_pretrain(cfg)
+    from visitron_tpu.train.checkpoint import CheckpointManager
+    first = CheckpointManager(cfg.output_dir).latest()
+    assert first is not None
+    cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2, resume=True)
+    runner.run_pretrain(cfg2)
+    assert CheckpointManager(cfg.output_dir).latest() > first

@@ -62,6 +62,7 @@ class ClassifierAgent:
     max_encode_events: int = 8
     seed: int = 88
     max_seq_length: int = 512
+    mesh: object = None  # optional jax Mesh for data-parallel training
 
     def __post_init__(self):
         self.encoder = OscarEncoder(
@@ -101,11 +102,35 @@ class ClassifierAgent:
             return {"encoder": enc_params, "decoder": dec_params}
 
         params = init(jax.random.PRNGKey(self.seed))
-        return {
+        state = {
             "params": params,
             "opt_state": jax.jit(self.optimizer.init)(params),
             "rng": jax.random.PRNGKey(self.seed + 1),
         }
+        if self.mesh is not None:
+            from visitron_tpu.parallel import replicate_state
+
+            state = replicate_state(self.mesh, state)
+        return state
+
+    def _place_batch(self, batch: dict) -> dict:
+        """Shard the batch over dp.  The classifier batch is heterogeneous:
+        nav/qa arrays are batch-leading, the stacked language snapshots are
+        (E, B, S) with batch second, and step2event is per-step (replicated)."""
+        if self.mesh is None:
+            return batch
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = {"lang_ids": 1, "lang_segs": 1, "lang_lens": 1, "step2event": None}
+
+        def place(k, v):
+            ax = axis.get(k, 0)
+            spec = P() if ax is None else P(*([None] * ax + ["dp"]))
+            return _jax.device_put(v, NamedSharding(self.mesh, spec))
+
+        return {k: (place(k, v) if not isinstance(v, list) else v)
+                for k, v in batch.items()}
 
     def load_nav_decoder(self, params: dict, nav_decoder_params: dict) -> dict:
         """Initialize from a fine-tuned nav checkpoint; the question head keeps
@@ -258,7 +283,11 @@ class ClassifierAgent:
                     grads, state["opt_state"], state["params"])
                 params = optax.apply_updates(state["params"], updates)
                 return {"params": params, "opt_state": opt_state, "rng": rng}, loss
-            self._train_step = train_step
+
+            def run(state, batch):
+                return train_step(state, self._place_batch(batch))
+
+            self._train_step = run
         return self._train_step
 
     def evaluate(self, params, batches) -> dict[str, float]:

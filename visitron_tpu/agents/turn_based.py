@@ -50,6 +50,7 @@ class TurnBasedAgent:
     max_grad_norm: float = 40.0
     seed: int = 88
     max_seq_length: int = 512
+    mesh: object = None  # optional jax Mesh for data-parallel training
 
     def __post_init__(self):
         self.encoder = OscarEncoder(
@@ -80,11 +81,25 @@ class TurnBasedAgent:
             return {"encoder": enc_params, "decoder": dec_params}
 
         params = init(jax.random.PRNGKey(self.seed))
-        return {
+        state = {
             "params": params,
             "opt_state": jax.jit(self.optimizer.init)(params),
             "rng": jax.random.PRNGKey(self.seed + 1),
         }
+        if self.mesh is not None:
+            from visitron_tpu.parallel import replicate_state
+
+            state = replicate_state(self.mesh, state)
+        return state
+
+    def _place_batch(self, batch: dict) -> dict:
+        if jax.process_count() == 1:  # see ViewpointAgent._place_batch
+            batch = ViewpointAgent.trim_batch(batch)
+        if self.mesh is not None:
+            from visitron_tpu.parallel import shard_batch
+
+            batch = shard_batch(self.mesh, batch)
+        return batch
 
     def _episode_loss(self, params, batch, rng, deterministic):
         rt = self.runtime
@@ -142,7 +157,7 @@ class TurnBasedAgent:
                 return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
             def run(state, batch):
-                return train_step(state, ViewpointAgent.trim_batch(batch))
+                return train_step(state, self._place_batch(batch))
 
             self._train_step = run
         return self._train_step

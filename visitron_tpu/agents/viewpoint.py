@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from visitron_tpu import geometry as geo
+from visitron_tpu.agents.decoding import select_action
 from visitron_tpu.agents.runtime import NavRuntime
 from visitron_tpu.models import AttnDecoderLSTM, BertConfig, OscarEncoder
 from visitron_tpu.ops.masking import NEG_INF
@@ -81,6 +82,7 @@ class ViewpointAgent:
     max_grad_norm: float = 40.0
     seed: int = 88
     max_seq_length: int = 512
+    temperature: float = 1.0  # temperature/penalty feedback scaling
     mesh: object = None  # optional jax Mesh for data-parallel training
 
     def __post_init__(self):
@@ -239,8 +241,10 @@ class ViewpointAgent:
         offset = jnp.asarray(batch["scan_offset"])  # (B,)
         b_idx = jnp.arange(b)
 
+        k1 = rt.max_candidates + 1
+
         def step(carry, xs):
-            h1, c, cur_row, view, ended = carry
+            h1, c, cur_row, view, ended, taken = carry
             step_rng, dropout_rng = jax.random.split(xs)
             a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
             h_new, c_new, logit, h_tilde = self.decoder.apply(
@@ -261,11 +265,11 @@ class ViewpointAgent:
                 logit.astype(jnp.float32), teacher)
             n = jnp.maximum(jnp.sum(active), 1.0)
             step_loss = jnp.sum(ce * active) / n
-            # Student action: sample/argmax over the masked logits.
-            if feedback == "sample":
-                a = jax.random.categorical(step_rng, logit.astype(jnp.float32))
-            else:
-                a = jnp.argmax(logit, axis=-1)
+            # Student action: any extended decoding strategy
+            # (next_decoder_input parity, utils.py:381-427).
+            a = select_action(feedback, logit, step_rng, target=teacher,
+                              temperature=self.temperature, taken_mask=taken)
+            taken2 = taken | (jnp.arange(k1)[None, :] == a[:, None])
             stop = a >= counts
             new_ended = ended | stop
             move = (~ended) & (~stop)
@@ -274,16 +278,32 @@ class ViewpointAgent:
             nxt_view = rt.point[cur_row, safe_a]
             cur_row2 = jnp.where(move, nxt_row, cur_row).astype(jnp.int32)
             view2 = jnp.where(move, nxt_view, view).astype(jnp.int32)
-            return (h_tilde, c_new, cur_row2, view2, new_ended), step_loss
+            return (h_tilde, c_new, cur_row2, view2, new_ended, taken2), step_loss
 
         init = (h_t, c_t, jnp.asarray(batch["start_rows"]),
-                jnp.asarray(batch["start_views"]), jnp.zeros(b, bool))
-        (_, _, final_row, _, _), step_losses = jax.lax.scan(step, init, step_rngs)
+                jnp.asarray(batch["start_views"]), jnp.zeros(b, bool),
+                jnp.zeros((b, k1), bool))
+        (_, _, final_row, _, _, _), step_losses = jax.lax.scan(step, init, step_rngs)
         return jnp.sum(step_losses) / t_len
+
+    def _place_batch(self, batch: dict) -> dict:
+        """Length-bucket the batch and, when training on a mesh, shard it over
+        the dp axis (params stay replicated; the SPMD partitioner inserts the
+        gradient all-reduce — DDP + manual allreduce parity, agent.py:509-512)."""
+        # Per-host length bucketing would desync global array shapes across
+        # processes; only trim when single-host.
+        if jax.process_count() == 1:
+            batch = self.trim_batch(batch)
+        if self.mesh is not None:
+            from visitron_tpu.parallel import shard_batch
+
+            batch = shard_batch(self.mesh, batch)
+        return batch
 
     def sample_train_step_fn(self, feedback: str = "sample"):
         """Train step for student-forced training (reference default
-        --feedback_method sample)."""
+        --feedback_method sample; extended strategies topk/nucleus/
+        temperature/penalty per utils.py:381-427)."""
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
         def train_step(state, batch):
             rng, step_rng = jax.random.split(state["rng"])
@@ -298,7 +318,7 @@ class ViewpointAgent:
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
         def run(state, batch):
-            return train_step(state, self.trim_batch(batch))
+            return train_step(state, self._place_batch(batch))
 
         return run
 
@@ -319,24 +339,11 @@ class ViewpointAgent:
             params = optax.apply_updates(state["params"], updates)
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
-        if self.mesh is None:
-            def run(state, batch):
-                return train_step(state, self.trim_batch(batch))
-        else:
-            # Data parallelism: batch arrays sharded over dp, params
-            # replicated; the SPMD partitioner inserts the gradient
-            # all-reduce (replaces DDP + manual loss allreduce,
-            # agent.py:509-512).
-            from visitron_tpu.parallel import batch_sharding
+        def run(state, batch):
+            return train_step(state, self._place_batch(batch))
 
-            data = batch_sharding(self.mesh)
-
-            def run(state, batch):
-                batch = self.trim_batch(batch)
-                batch = jax.tree.map(
-                    lambda x: jax.device_put(jnp.asarray(x), data), batch)
-                return train_step(state, batch)
-
+        # Raw jit handle for cost analysis (bench.py lowers it for FLOPs/MFU).
+        self._train_step_jit = train_step
         self._train_step = run
         return self._train_step
 
@@ -360,7 +367,8 @@ class ViewpointAgent:
         rt = self.runtime
 
         @jax.jit
-        def step(dec_params, h1, c, ctx, ctx_mask, cur_row, view, visited_mask, rng):
+        def step(dec_params, h1, c, ctx, ctx_mask, cur_row, view, visited_mask,
+                 taken_mask, rng):
             a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
             dropout_rng, sample_rng = jax.random.split(rng)
             h_new, c_new, logit, h_tilde = self.decoder.apply(
@@ -369,12 +377,8 @@ class ViewpointAgent:
                 rngs=None if deterministic else {"dropout": dropout_rng},
             )
             logit = jnp.where(cand_mask | visited_mask, NEG_INF, logit)
-            if feedback == "argmax":
-                a = jnp.argmax(logit, axis=-1)
-            elif feedback == "sample":
-                a = jax.random.categorical(sample_rng, logit.astype(jnp.float32))
-            else:
-                raise ValueError(feedback)
+            a = select_action(feedback, logit, sample_rng,
+                              temperature=self.temperature, taken_mask=taken_mask)
             return a.astype(jnp.int32), h_tilde, c_new, logit
 
         self._student_step[key] = step
@@ -398,17 +402,18 @@ class ViewpointAgent:
             b = ids.shape[0]
             step_rngs = jax.random.split(rng, self.episode_len)
 
+            k1 = rt.max_candidates + 1
+
             def step(carry, step_rng):
-                h1, c, cur_row, view, ended = carry
+                h1, c, cur_row, view, ended, taken = carry
                 a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
                 h_new, c_new, logit, h_tilde = self.decoder.apply(
                     params["decoder"], a_t, f_t, cand_feat, h1, c, ctx, ctx_mask,
                     deterministic=True)
                 logit = jnp.where(cand_mask, NEG_INF, logit)
-                if feedback == "argmax":
-                    a = jnp.argmax(logit, axis=-1)
-                else:
-                    a = jax.random.categorical(step_rng, logit.astype(jnp.float32))
+                a = select_action(feedback, logit, step_rng,
+                                  temperature=self.temperature, taken_mask=taken)
+                taken2 = taken | (jnp.arange(k1)[None, :] == a[:, None])
                 counts = rt.count[cur_row]
                 stop = a >= counts
                 moved = (~ended) & (~stop)
@@ -416,9 +421,10 @@ class ViewpointAgent:
                 cur_row2 = jnp.where(moved, rt.nbr[cur_row, safe_a], cur_row).astype(jnp.int32)
                 view2 = jnp.where(moved, rt.point[cur_row, safe_a], view).astype(jnp.int32)
                 new_ended = ended | stop
-                return (h_tilde, c_new, cur_row2, view2, new_ended), (cur_row2, view2, moved)
+                return (h_tilde, c_new, cur_row2, view2, new_ended, taken2), (cur_row2, view2, moved)
 
-            init = (h_t, c_t, start_rows, start_views, jnp.zeros(b, bool))
+            init = (h_t, c_t, start_rows, start_views, jnp.zeros(b, bool),
+                    jnp.zeros((b, k1), bool))
             _, (rows, views, moved) = jax.lax.scan(step, init, step_rngs)
             return rows.T, views.T, moved.T  # (B, T)
 
@@ -487,6 +493,7 @@ class ViewpointAgent:
             })
         h1, c = h_t, c_t
         ctx_mask_j = jnp.asarray(ctx_mask)
+        taken_mask = np.zeros((b, k1), bool)  # penalty-feedback history
         for _ in range(self.episode_len):
             visited_mask = np.zeros((b, k1), bool)
             if submit:  # avoid cyclic paths (agent.py:397-402)
@@ -499,8 +506,9 @@ class ViewpointAgent:
             a, h1, c, _ = step_fn(
                 params["decoder"], h1, c, ctx, ctx_mask_j,
                 jnp.asarray(rows), jnp.asarray(views), jnp.asarray(visited_mask),
-                step_rng)
+                jnp.asarray(taken_mask), step_rng)
             a = np.asarray(a)
+            taken_mask[np.arange(b), np.minimum(a, k1 - 1)] = True
             for i in range(b):
                 if ended[i]:
                     continue

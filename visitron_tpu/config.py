@@ -26,6 +26,12 @@ class RunConfig:
     model_name_or_path: str = ""       # pretrained Oscar weights (torch/HF dir)
     output_dir: str = "output"
     vocab_file: str = ""
+    # offline feature pipeline inputs (run.py extract_scene / extract_regions)
+    matterport_dir: str = ""           # Matterport root with skybox JPEGs
+    resnet_checkpoint: str = ""        # torchvision ResNet-152 .pth
+    detector_weights: str = ""         # VG Faster R-CNN weight dump (.npz)
+    objects_vocab: str = ""            # 1601-line class vocab (VG)
+    attributes_vocab: str = ""         # 401-line attribute vocab (VG)
 
     # model dims (params.py:132-179)
     max_seq_length: int = 512
@@ -58,6 +64,7 @@ class RunConfig:
     question_asking_class_weight: float = 5.0
     blind: bool = False
     submit: bool = False
+    test_only: bool = False            # skip training; write test submission
 
     # optimization (params.py:251-307)
     per_gpu_train_batch_size: int = 8
@@ -76,17 +83,24 @@ class RunConfig:
     mlm_probability: float = 0.15
     ignoreid: int = -100
 
+    # extended decoding (utils.py:381-427): logit scale for the
+    # temperature/penalty feedback strategies
+    temperature: float = 1.0
+
     # bookkeeping
     logging_steps: int = 50
     saving_steps: int = 1000
     eval_iters: list[int] = field(default_factory=lambda: [-1])
     seed: int = 88
     debug: bool = False
+    resume: bool = False               # restore latest checkpoint and continue
+    profile_steps: int = 0             # capture a jax profiler trace of N steps
 
     # hardware
     mesh_dp: int = 0                   # 0 => all devices
     mesh_tp: int = 1
     use_bfloat16: bool = True
+    use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
 
     def __post_init__(self):
         valid = ("planner_path", "player_path", "trusted_path")
@@ -136,3 +150,22 @@ class RunConfig:
     def from_args(cls, argv=None) -> "RunConfig":
         ns = cls.parser().parse_args(argv)
         return cls(**vars(ns))
+
+    @classmethod
+    def cli_overrides(cls, argv) -> dict:
+        """Only the flags actually present on the command line (so an explicit
+        flag equal to its default still overrides a config-file value)."""
+        p = argparse.ArgumentParser(description="visitron-tpu config overrides")
+        for f in dataclasses.fields(cls):
+            flag = "--" + f.name
+            default = f.default if f.default is not dataclasses.MISSING else None
+            if f.type == "bool" or isinstance(default, bool):
+                p.add_argument(flag, action="store_true", default=argparse.SUPPRESS)
+                p.add_argument("--no_" + f.name, dest=f.name,
+                               action="store_false", default=argparse.SUPPRESS)
+            elif f.name == "eval_iters":
+                p.add_argument(flag, nargs="+", type=int, default=argparse.SUPPRESS)
+            else:
+                typ = type(default) if default is not None else str
+                p.add_argument(flag, type=typ, default=argparse.SUPPRESS)
+        return vars(p.parse_args(argv))

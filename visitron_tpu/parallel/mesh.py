@@ -49,6 +49,15 @@ def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("dp", "tp"))
 
 
+def maybe_mesh(dp: int = 0, tp: int = 1) -> Mesh | None:
+    """Mesh from run-config flags: None on a lone device with no explicit
+    request (skips sharding plumbing); otherwise a (dp, tp) mesh over all
+    devices (dp=0 means 'all')."""
+    if dp in (0, 1) and tp == 1 and jax.device_count() == 1:
+        return None
+    return make_mesh(dp=dp or None, tp=tp)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over dp; all other dims replicated."""
     return NamedSharding(mesh, P("dp"))
@@ -83,6 +92,28 @@ def shard_params_rules(mesh: Mesh, params):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, sharded along dp."""
+    """Place a host batch dict onto the mesh, sharded along dp.
+
+    Single-host: a plain device_put scatters the global batch over the dp
+    axis.  Multi-host (jax.distributed initialized): each host holds its own
+    slice of the global batch (strided per-host instance sharding in the
+    batchers), assembled into one global array
+    (jax.make_array_from_process_local_data) — the SPMD equivalent of
+    DistributedSampler + NCCL DDP (reference train.py:66-70,536-548).
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state/rng) across every mesh device."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def host_shard_info() -> tuple[int, int]:
+    """(host_id, num_hosts) for per-host data sharding."""
+    return jax.process_index(), jax.process_count()

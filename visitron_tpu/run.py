@@ -3,11 +3,13 @@
 Replaces the reference's four train mains + 37 run shell scripts
 (run_scripts/**) with subcommands over the unified RunConfig flag surface:
 
-  viewpoint   NDH(+R2R/R4R/RxR) viewpoint-selection fine-tuning + validation
-  turn_based  low-level action-space training
-  classifier  question-asking classifier training/evaluation
-  pretrain    multimodal (MLM + action + region-token) pretraining
-  datagen     pretraining-example generation (path walks)
+  viewpoint        NDH(+R2R/R4R/RxR) viewpoint-selection fine-tune + val
+  turn_based       low-level action-space training + val
+  classifier       question-asking classifier training + val
+  pretrain         multimodal (MLM + action + region-token) pretraining
+  datagen          pretraining-example generation (path walks)
+  extract_scene    skybox JPEGs -> 36-view ResNet scene features (TSV)
+  extract_regions  skybox JPEGs -> bottom-up region features (pickle store)
 
 Run-mode dispatch (cpu / single-chip / multi-chip) is implicit: jax device
 discovery + the (dp, tp) mesh replace CUDA_VISIBLE_DEVICES / DataParallel /
@@ -29,7 +31,12 @@ def run_viewpoint(cfg: RunConfig, do_val: bool = True):
 
     ws = _workspace_for_nav(cfg)
     trainer = ViewpointTrainer(cfg, ws)
-    state = trainer.train()
+    if cfg.test_only:
+        # Roll out the test split from the latest checkpoint and write the
+        # EvalAI submission (train.py:575-579).
+        trainer.test_submission()
+        return None
+    state = trainer.train(resume=cfg.resume, profile_steps=cfg.profile_steps)
     if do_val:
         # --eval_iters selects checkpoint iterations; [-1] means all
         # (reference train.py:182-189).
@@ -60,116 +67,27 @@ def _workspace_for_nav(cfg: RunConfig) -> Workspace:
     return Workspace.from_config(cfg, scans=scans)
 
 
-def run_turn_based(cfg: RunConfig):
-    from visitron_tpu.agents.batcher import NavEpisodeBatcher
-    from visitron_tpu.agents.turn_based import TurnBasedAgent
-    from visitron_tpu.data.datasets import build_nav_instances
-    from visitron_tpu.train.checkpoint import CheckpointManager
-    from visitron_tpu.train.logging import MetricsLogger, setup_logger
-    import jax
+def run_turn_based(cfg: RunConfig, do_val: bool = True):
+    from visitron_tpu.train.turn_based import TurnBasedTrainer
 
     ws = _workspace_for_nav(cfg)
-    logger = setup_logger(output_dir=cfg.output_dir)
-    if ws.synthetic is not None:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="visitron_synth_")
-        ws.synthetic.write_task_data(root)
-    else:
-        root = cfg.data_root
-    instances = build_nav_instances(
-        root, ["train"], ws.tokenizer, path_type=cfg.path_type,
-        add_ndh=cfg.add_ndh_data, add_r2r=cfg.add_r2r_data,
-        add_r4r=cfg.add_r4r_data, add_rxr=cfg.add_rxr_data,
-        oscar_setting=cfg.oscar_setting, tar_back=cfg.tar_back,
-        max_seq_length=cfg.max_seq_length)
-    agent = TurnBasedAgent(
-        ws.bert_config, ws.runtime, feature_dim=cfg.lstm_img_feature_dim,
-        episode_len=cfg.episode_len, aemb=cfg.aemb, rnn_dim=cfg.rnn_dim,
-        encoder_hidden_size=cfg.encoder_hidden_size, dropout=cfg.dropout,
-        learning_rate=cfg.learning_rate, seed=cfg.seed,
-        max_seq_length=cfg.max_seq_length)
-    batcher = NavEpisodeBatcher(instances, ws.runtime,
-                                batch_size=cfg.train_batch_size(jax.local_device_count()),
-                                path_type=cfg.path_type, seed=cfg.seed)
-    state = agent.init_state()
-    step = agent.train_step_fn()
-    ckpt = CheckpointManager(cfg.output_dir)
-    metrics = MetricsLogger(cfg.output_dir, "train")
-    losses = []
-    for i, batch in enumerate(batcher.train_batches(cfg.num_iterations)):
-        batch = batcher.with_turn_teacher(batch, cfg.episode_len)
-        jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-        state, loss = step(state, jb)
-        losses.append(float(loss))
-        it = i + 1
-        if it % cfg.logging_steps == 0:
-            logger.info("iter %d loss %.4f", it, float(np.mean(losses[-cfg.logging_steps:])))
-            metrics.log({"loss": float(np.mean(losses[-cfg.logging_steps:]))}, step=it)
-        if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
-            ckpt.save(it, state["params"], state["opt_state"])
-    metrics.close()
+    trainer = TurnBasedTrainer(cfg, ws)
+    state = trainer.train(resume=cfg.resume)
+    if do_val:
+        steps = None if cfg.eval_iters == [-1] else cfg.eval_iters
+        trainer.val(steps=steps)
     return state
 
 
-def run_classifier(cfg: RunConfig):
-    from visitron_tpu.agents.classifier import ClassifierAgent
-    from visitron_tpu.data.classifier_dataset import build_classifier_instances
-    from visitron_tpu.train.checkpoint import CheckpointManager
-    from visitron_tpu.train.logging import MetricsLogger, setup_logger
+def run_classifier(cfg: RunConfig, do_val: bool = True):
+    from visitron_tpu.train.classifier import ClassifierTrainer
 
     ws = _workspace_for_nav(cfg)
-    logger = setup_logger(output_dir=cfg.output_dir)
-    if ws.synthetic is not None:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="visitron_synth_")
-        ws.synthetic.write_task_data(root)
-    else:
-        root = cfg.data_root
-    instances = build_classifier_instances(
-        root, ["train"], ws.tokenizer, oscar_setting=cfg.oscar_setting,
-        tar_back=cfg.tar_back, max_seq_length=cfg.max_seq_length)
-    agent = ClassifierAgent(
-        ws.bert_config, ws.runtime, feature_dim=cfg.lstm_img_feature_dim,
-        episode_len=cfg.episode_len, aemb=cfg.aemb, rnn_dim=cfg.rnn_dim,
-        encoder_hidden_size=cfg.encoder_hidden_size, dropout=cfg.dropout,
-        learning_rate=cfg.learning_rate,
-        pos_weight=cfg.question_asking_class_weight,
-        only_finetune_classifier=cfg.only_finetune_classifier,
-        seed=cfg.seed, max_seq_length=cfg.max_seq_length)
-    state = agent.init_state()
-    step = agent.train_step_fn()
-    ckpt = CheckpointManager(cfg.output_dir)
-    metrics = MetricsLogger(cfg.output_dir, "train")
-    bs = cfg.per_gpu_train_batch_size
-    order = np.arange(len(instances))
-    rng = np.random.default_rng(cfg.seed)
-    it = 0
-    while it < cfg.num_iterations:
-        rng.shuffle(order)
-        for start in range(0, len(order) - bs + 1, bs):
-            items = [instances[j] for j in order[start:start + bs]]
-            batch = agent.prepare_batch(items)
-            jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-            state, loss = step(state, jb)
-            it += 1
-            if it % cfg.logging_steps == 0:
-                logger.info("iter %d loss %.4f", it, float(loss))
-                metrics.log({"loss": float(loss)}, step=it)
-            if it % cfg.saving_steps == 0 or it >= cfg.num_iterations:
-                ckpt.save(it, state["params"], state["opt_state"])
-            if it >= cfg.num_iterations:
-                break
-    # Final evaluation pass (classification metrics).
-    eval_batches = []
-    for start in range(0, len(instances) - bs + 1, bs):
-        eval_batches.append(agent.prepare_batch(instances[start:start + bs]))
-    if eval_batches:
-        m = agent.evaluate(state["params"], eval_batches)
-        logger.info("classifier metrics: %s", m)
-        metrics.log(m, step=cfg.num_iterations, prefix="eval/")
-    metrics.close()
+    trainer = ClassifierTrainer(cfg, ws)
+    state = trainer.train(resume=cfg.resume)
+    if do_val:
+        steps = None if cfg.eval_iters == [-1] else cfg.eval_iters
+        trainer.val(steps=steps)
     return state
 
 
@@ -223,6 +141,12 @@ def run_pretrain(cfg: RunConfig):
                     raise
         if not records:
             return None
+        import os
+
+        # Tokenize-once cache across epochs and runs (utils_data.py:241-284);
+        # skipped in --debug where the synthetic root changes per run.
+        cache = None if cfg.debug else os.path.join(
+            cfg.output_dir, f"pretrain_cache_{'_'.join(splits)}.pkl")
         return PretrainDataset(
             records, ws.tokenizer, region_store=store,
             detector_classes=detector_classes,
@@ -233,7 +157,7 @@ def run_pretrain(cfg: RunConfig):
             max_img_seq_length=cfg.max_img_seq_length,
             region_feat_dim=cfg.img_feature_dim,
             oscar_setting=cfg.oscar_setting, tar_back=cfg.tar_back,
-            debug=cfg.debug, seed=cfg.seed)
+            debug=cfg.debug, seed=cfg.seed, cache_path=cache)
 
     dataset = make_dataset(["train"])
     mesh = make_mesh(dp=cfg.mesh_dp or None, tp=cfg.mesh_tp)
@@ -250,7 +174,19 @@ def run_pretrain(cfg: RunConfig):
     metrics = MetricsLogger(cfg.output_dir, "train")
     step = trainer.step_fn()
     it = 0
-    for epoch in range(cfg.num_epochs):
+    start_epoch = 0
+    if cfg.resume and ckpt.latest() is not None:
+        # Per-epoch checkpoints: resume at the next epoch with the exact
+        # params + optimizer state (schedule position lives in opt_state).
+        from visitron_tpu.parallel import replicate_state
+
+        it = ckpt.latest()
+        restored = ckpt.restore(
+            it, {"params": state["params"], "opt_state": state["opt_state"]})
+        state = {**state, **replicate_state(mesh, restored)}
+        start_epoch = min(it // steps_per_epoch, cfg.num_epochs)
+        logger.info("resumed from checkpoint-%d (epoch %d)", it, start_epoch)
+    for epoch in range(start_epoch, cfg.num_epochs):
         for batch in dataset.epoch_batches(batch_size):
             state, bundle = step(state, batch)
             it += 1
@@ -271,18 +207,108 @@ def run_pretrain(cfg: RunConfig):
     return state
 
 
+def _extract_graphs(cfg: RunConfig) -> dict:
+    """Nav graphs for the offline pipelines (which predate feature stores, so
+    no Workspace): every scan with a connectivity file."""
+    import os
+
+    from visitron_tpu.graph import load_nav_graphs
+
+    scans = sorted(
+        f.removesuffix("_connectivity.json")
+        for f in os.listdir(cfg.connectivity_dir)
+        if f.endswith("_connectivity.json"))
+    return load_nav_graphs(cfg.connectivity_dir, scans)
+
+
+def run_extract_scene(cfg: RunConfig):
+    """Scene (ResNet) feature extraction from skybox JPEGs -> TSV
+    (scripts/precompute_resnet_img_features.py parity; run.py extract_scene)."""
+    from visitron_tpu.pipelines.rendering import SkyboxRenderer
+    from visitron_tpu.pipelines.scene_features import SceneFeatureExtractor
+    from visitron_tpu.train.logging import setup_logger
+
+    logger = setup_logger(output_dir=cfg.output_dir)
+    # Reference geometry: 640x480 VFOV 60 (precompute_resnet_img_features.py);
+    # --debug shrinks the render for fast smoke runs.
+    w, h = (64, 48) if cfg.debug and not cfg.resnet_checkpoint else (640, 480)
+    renderer = SkyboxRenderer(cfg.matterport_dir, image_w=w, image_h=h, vfov=60)
+    if cfg.resnet_checkpoint:
+        ex = SceneFeatureExtractor.from_torch_checkpoint(
+            cfg.resnet_checkpoint, image_w=w, image_h=h, vfov=60)
+    else:
+        logger.warning("no --resnet_checkpoint; using a randomly initialized "
+                       "backbone (debug only)")
+        ex = SceneFeatureExtractor.random_init(
+            depth=50, image_hw=(h, w), image_w=w, image_h=h, vfov=60)
+    out = cfg.img_feature_file or f"{cfg.output_dir}/scene_features.tsv"
+    ex.extract_all(_extract_graphs(cfg), renderer, out_tsv=out, logger=logger)
+    logger.info("wrote scene features to %s", out)
+    return out
+
+
+def run_extract_regions(cfg: RunConfig):
+    """Bottom-up region features from skybox JPEGs -> pickle store
+    (scripts/precompute_bottom-up_features.py + add_orientation parity)."""
+    import numpy as np_
+
+    from visitron_tpu.models.detector import BottomUpDetector
+    from visitron_tpu.pipelines.region_features import (RegionFeatureExtractor,
+                                                        StubDetector)
+    from visitron_tpu.pipelines.rendering import SkyboxRenderer
+    from visitron_tpu.train.logging import setup_logger
+
+    logger = setup_logger(output_dir=cfg.output_dir)
+    # Reference geometry: 600x600 VFOV 80 (precompute_bottom-up_features.py);
+    # --debug shrinks the render for fast smoke runs.
+    side = 60 if cfg.debug and not cfg.detector_weights else 600
+    renderer = SkyboxRenderer(cfg.matterport_dir, image_w=side, image_h=side,
+                              vfov=80)
+    if cfg.detector_weights:
+        state = dict(np_.load(cfg.detector_weights, allow_pickle=True))
+        detector = BottomUpDetector.from_caffe_dump(state)
+        classes = open(cfg.objects_vocab).read().splitlines()
+        attributes = open(cfg.attributes_vocab).read().splitlines()
+    elif cfg.debug:
+        logger.warning("no --detector_weights; StubDetector (--debug)")
+        detector = StubDetector()
+        classes = ["__background__"] + [f"c{i}" for i in range(detector.num_classes - 1)]
+        attributes = ["__no_attribute__"] + [f"a{i}" for i in range(detector.num_attributes - 1)]
+    else:
+        raise SystemExit("extract_regions needs --detector_weights (VG Faster "
+                         "R-CNN dump) + --objects_vocab/--attributes_vocab, "
+                         "or --debug for the stub")
+    ex = RegionFeatureExtractor(detector, classes, attributes,
+                                image_w=side, image_h=side, vfov=80)
+    store = ex.extract_all(_extract_graphs(cfg), renderer)
+    prefix = cfg.region_feature_prefix or f"{cfg.output_dir}/region_features"
+    store.to_pickle(prefix)
+    logger.info("wrote region store (%d keys) to %s*", len(store), prefix)
+    return prefix
+
+
 def _maybe_init_multihost() -> None:
     """Multi-host SPMD: when launched under a multi-host runtime (coordinator
     address in the environment), join the global mesh.  This replaces
     torch.distributed.launch + NCCL init (reference run_scripts/*:4,
     train.py:536-548): afterwards jax.devices() spans all hosts and every
-    jitted step is a single global SPMD program."""
+    jitted step is a single global SPMD program.
+
+    On TPU pods the runtime provides discovery and ``initialize()`` needs no
+    arguments; elsewhere (CPU/GPU clusters, tests) set JAX_COORDINATOR_ADDRESS
+    plus JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        import jax
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    import jax
 
-        jax.distributed.initialize()
+    kw = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
 
 
 def main(argv=None):
@@ -293,15 +319,13 @@ def main(argv=None):
     _maybe_init_multihost()
     task, rest = argv[0], argv[1:]
     if rest and rest[0] == "--config":
-        # Experiment-config file (run_configs/*.json) + CLI overrides.
+        # Experiment-config file (run_configs/*.json) + CLI overrides: only
+        # flags literally present on the command line override the file, so an
+        # explicit flag set to its default value still wins.
         import dataclasses
 
         base = RunConfig.from_json(rest[1])
-        cfg = RunConfig.from_args(rest[2:])
-        defaults = RunConfig()
-        overrides = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(RunConfig)
-                     if getattr(cfg, f.name) != getattr(defaults, f.name)}
-        cfg = dataclasses.replace(base, **overrides)
+        cfg = dataclasses.replace(base, **RunConfig.cli_overrides(rest[2:]))
     else:
         cfg = RunConfig.from_args(rest)
     if task == "viewpoint":
@@ -314,6 +338,10 @@ def main(argv=None):
         run_pretrain(cfg)
     elif task == "datagen":
         run_datagen(cfg)
+    elif task == "extract_scene":
+        run_extract_scene(cfg)
+    elif task == "extract_regions":
+        run_extract_regions(cfg)
     else:
         raise SystemExit(f"unknown task {task!r}; see --help")
 

@@ -52,6 +52,13 @@ class CheckpointManager:
                 os.path.join(self.path(step), name), target)
         return out
 
+    def restore_raw(self, step: int, name: str = "params"):
+        """Restore a payload without a template (as saved, numpy-backed).
+        Used to graft checkpoints across model variants — e.g. a fine-tuned
+        nav checkpoint into the classifier agent, whose decoder adds a
+        question head (train_classifier.py:129, classifier/agent.py:699-711)."""
+        return self._ckpt.restore(os.path.join(self.path(step), name))
+
     def steps(self) -> list[int]:
         out = []
         if not os.path.isdir(self.output_dir):

@@ -33,7 +33,13 @@ class ViewpointTrainer:
     ws: Workspace
 
     def __post_init__(self):
+        from visitron_tpu.parallel import maybe_mesh
+
         self.logger = setup_logger(output_dir=self.cfg.output_dir)
+        # --mesh_dp/--mesh_tp (or >1 visible devices) put the whole workload on
+        # a device mesh: batch dp-sharded, params replicated (reference DDP
+        # covers all trainers, run_scripts/viewpoint_train/*:4).
+        self.mesh = maybe_mesh(self.cfg.mesh_dp, self.cfg.mesh_tp)
         self.agent = ViewpointAgent(
             self.ws.bert_config,
             self.ws.runtime,
@@ -47,6 +53,8 @@ class ViewpointTrainer:
             max_grad_norm=self.cfg.agent_max_grad_norm,
             seed=self.cfg.seed,
             max_seq_length=self.cfg.max_seq_length,
+            temperature=self.cfg.temperature,
+            mesh=self.mesh,
         )
         self.ckpt = CheckpointManager(self.cfg.output_dir)
 
@@ -70,10 +78,16 @@ class ViewpointTrainer:
             oscar_setting=self.cfg.oscar_setting, tar_back=self.cfg.tar_back,
             max_seq_length=self.cfg.max_seq_length)
 
-    def _batcher(self, instances, batch_size):
+    def _batcher(self, instances, batch_size, per_host: bool = False):
+        """``per_host``: shard instances + batch size across processes so each
+        host feeds its slice of the global dp batch (DistributedSampler
+        parity, train.py:66-70)."""
+        host_id, num_hosts = (jax.process_index(), jax.process_count()) \
+            if per_host else (0, 1)
         return NavEpisodeBatcher(
-            instances, self.ws.runtime, batch_size=batch_size,
-            path_type=self.cfg.path_type, seed=self.cfg.seed)
+            instances, self.ws.runtime, batch_size=batch_size // num_hosts,
+            path_type=self.cfg.path_type, seed=self.cfg.seed,
+            host_id=host_id, num_hosts=num_hosts)
 
     def train(self, state=None, resume: bool = False, profile_steps: int = 0) -> dict:
         """Train loop.  ``resume`` restores the latest checkpoint (params +
@@ -81,12 +95,13 @@ class ViewpointTrainer:
         captures a jax profiler trace of that many early steps into
         <output_dir>/profile."""
         cfg = self.cfg
-        n_dev = jax.local_device_count()
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         batch_size = cfg.train_batch_size(n_dev)
         instances = self._instances(["train"])
-        self.logger.info("training on %d instances, batch %d, %d iterations",
-                         len(instances), batch_size, cfg.num_iterations)
-        batcher = self._batcher(instances, batch_size)
+        self.logger.info("training on %d instances, global batch %d (%d devices), "
+                         "%d iterations", len(instances), batch_size, n_dev,
+                         cfg.num_iterations)
+        batcher = self._batcher(instances, batch_size, per_host=True)
         if state is None:
             state = self.agent.init_state()
             state = self._maybe_load_pretrained(state)
@@ -95,11 +110,16 @@ class ViewpointTrainer:
             start_it = self.ckpt.latest()
             restored = self.ckpt.restore(
                 start_it, {"params": state["params"], "opt_state": state["opt_state"]})
+            if self.mesh is not None:
+                from visitron_tpu.parallel import replicate_state
+
+                restored = replicate_state(self.mesh, restored)
             state = {**state, **restored}
             self.logger.info("resumed from checkpoint-%d", start_it)
         # feedback_method selects the rollout policy during training
-        # (reference default: sample; params.py:201-207).
-        student = cfg.feedback_method in ("sample", "argmax")
+        # (reference params.py:201-207 allows sample|teacher; the extended
+        # strategies of utils.py:381-427 are wired as student variants here).
+        student = cfg.feedback_method != "teacher"
         if student:
             step = self.agent.sample_train_step_fn(cfg.feedback_method)
         else:
