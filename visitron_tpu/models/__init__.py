@@ -36,3 +36,15 @@ __all__ += [
     "SpeakerDecoder",
     "SpeakerEncoder",
 ]
+
+from visitron_tpu.models.detector import (
+    BottomUpDetector,
+    FasterRCNN,
+    convert_caffe_bottomup,
+)
+
+__all__ += [
+    "BottomUpDetector",
+    "FasterRCNN",
+    "convert_caffe_bottomup",
+]
