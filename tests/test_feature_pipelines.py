@@ -185,3 +185,57 @@ def test_region_extractor_end_to_end(world, tmp_path):
     store.to_pickle(str(tmp_path / "regions"))
     info = verify_region_store(str(tmp_path / "regions"))
     assert info["num_keys"] == 72
+
+
+def test_region_store_lmdb_roundtrip(tmp_path):
+    """pickle <-> LMDB store round-trip (reference LMDB pretraining layout,
+    utils_data.py:415-438)."""
+    pytest.importorskip("lmdb")
+    from visitron_tpu.data.features import RegionFeatureStore
+
+    rng = np.random.default_rng(0)
+    feats = {f"s_v_{i}".encode(): rng.standard_normal((3, 10)).astype(np.float32)
+             for i in range(4)}
+    toks = {k: [f"tok{i}"] * 3 for i, k in enumerate(feats)}
+    store = RegionFeatureStore(feats, toks, 600, 600, 80)
+    store.to_lmdb(str(tmp_path / "st"))
+    back = RegionFeatureStore.from_lmdb(str(tmp_path / "st"))
+    assert set(back.keys) == set(store.keys)
+    for k in store.keys:
+        np.testing.assert_array_equal(back[k], store[k])
+        assert back.get_region_tokens(k) == store.get_region_tokens(k)
+    assert (back.image_w, back.image_h, back.vfov) == (600, 600, 80)
+
+
+def test_pretrain_dataset_cache(tmp_path, world):
+    """Second construction with the same fingerprint loads the tokenized
+    examples from the cache; a changed flag invalidates it."""
+    from visitron_tpu.data import WordPieceTokenizer, build_wordpiece_vocab
+    from visitron_tpu.data.pretrain_dataset import PretrainDataset
+    from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
+
+    tok = WordPieceTokenizer(build_wordpiece_vocab(
+        [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=512))
+    scan = sorted(world.graphs)[0]
+    g = world.graphs[scan]
+    records = [
+        {"inst_idx": f"r{i}", "scan": scan, "viewpoint": g.viewpoints[i],
+         "current_view_index": 5, "target_rel_view_index": i % 36,
+         "dialog_history": "walk to the sofa then stop"}
+        for i in range(6)
+    ]
+    cache = str(tmp_path / "cache.pkl")
+    kw = dict(max_seq_length=64, max_img_seq_length=16, region_feat_dim=70,
+              debug=True, cache_path=cache)
+    ds1 = PretrainDataset(records, tok, **kw)
+    import os
+    assert os.path.exists(cache)
+    ds2 = PretrainDataset(records, tok, **kw)
+    assert len(ds2.examples) == len(ds1.examples)
+    for a, b in zip(ds1.examples, ds2.examples):
+        np.testing.assert_array_equal(a.token_ids, b.token_ids)
+        assert a.next_action == b.next_action
+    # Different flag -> cache miss -> fresh preprocessing, cache not reused.
+    kw2 = dict(kw, max_seq_length=128)
+    ds3 = PretrainDataset(records, tok, **kw2)
+    assert ds3.examples[0].token_ids.shape[0] == 128

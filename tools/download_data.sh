@@ -27,4 +27,30 @@ wget https://cvdn.dev/dataset/CVDN/train_val/val_unseen.json -P srv/task_data/CV
 
 # R4R is generated from R2R (see github.com/google-research/google-research/tree/master/r4r);
 # RxR guide annotations: gs://rxr-data/ (rxr_train_guide.jsonl.gz) -> srv/task_data/RxR/data/
+
+# --- pretrained assets (model_utils.py:36-44 downloads Oscar at run time;
+# here they are fetched up front so multi-host runs need no rank barrier) ---
+mkdir -p srv/oscar_weights srv/vocab srv/detector
+
+# Oscar base-no-labels checkpoint (the VISITRON init; see Oscar MODEL_ZOO —
+# github.com/microsoft/Oscar — for the canonical blob URL):
+wget https://biglmdiag.blob.core.windows.net/oscar/pretrained_models/base-no-labels.zip \
+    -O srv/oscar_weights/base-no-labels.zip && \
+    unzip -o srv/oscar_weights/base-no-labels.zip -d srv/oscar_weights/
+
+# bert-base-uncased WordPiece vocab (tokenizer parity):
+wget https://huggingface.co/bert-base-uncased/resolve/main/vocab.txt \
+    -O srv/vocab/bert-base-uncased-vocab.txt
+
+# Visual Genome class/attribute vocabularies for the bottom-up detector
+# (1600 objects + background, 400 attributes + none; bottom-up-attention repo):
+wget https://raw.githubusercontent.com/peteanderson80/bottom-up-attention/master/data/genome/1600-400-20/objects_vocab.txt \
+    -O srv/detector/objects_vocab.txt
+wget https://raw.githubusercontent.com/peteanderson80/bottom-up-attention/master/data/genome/1600-400-20/attributes_vocab.txt \
+    -O srv/detector/attributes_vocab.txt
+
+# The VG Faster R-CNN weights ship as Caffe .caffemodel
+# (resnet101_faster_rcnn_final.caffemodel, link in the bottom-up-attention
+# README). Convert to an .npz of {caffe_layer: array} with any Caffe install
+# and pass it as --detector_weights to `run.py extract_regions`.
 echo "done"

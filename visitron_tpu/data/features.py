@@ -216,3 +216,27 @@ class RegionFeatureStore:
         with open(path_prefix + "-region_labels.pickle", "rb") as f:
             tokens = pickle.load(f)
         return cls(features, tokens, meta["image_w"], meta["image_h"], meta["vfov"])
+
+    def to_lmdb(self, path_prefix: str, map_size: int = 1 << 34) -> None:
+        """Write the reference LMDB layout (utils_data.py:415-438 read side):
+        a "keys" entry listing every ``scan_vp_view`` key, one pickled record
+        per key, plus the ``-region_labels.pickle`` sidecar.  Round-trips with
+        ``from_lmdb``."""
+        import lmdb  # gated: not part of the base environment
+
+        env = lmdb.open(path_prefix + ".lmdb", map_size=map_size)
+        with env.begin(write=True) as txn:
+            txn.put("keys".encode(), pickle.dumps(self.keys, protocol=-1))
+            for key in self.keys:
+                scan, vp, view = key.decode().split("_")
+                item = {
+                    "scanId": scan, "viewpointId": vp, "featureViewIndex": view,
+                    "features": self.features[key],
+                    "image_w": self.image_w, "image_h": self.image_h,
+                    "vfov": self.vfov,
+                }
+                txn.put(key, pickle.dumps(item, protocol=-1))
+        env.sync()
+        env.close()
+        with open(path_prefix + "-region_labels.pickle", "wb") as f:
+            pickle.dump(self.region_tokens, f, protocol=-1)

@@ -59,6 +59,7 @@ class PretrainDataset:
         truncate_dialog: bool = True,
         debug: bool = False,
         seed: int = 0,
+        cache_path: str | None = None,
     ):
         self.tokenizer = tokenizer
         self.region_store = region_store
@@ -75,9 +76,55 @@ class PretrainDataset:
         if self.mtp:
             assert detector_classes is not None
             self.class2id = {c: i for i, c in enumerate(detector_classes)}
-        self.examples: list[PretrainExample] = []
-        for rec in records:
-            self.examples.append(self._preprocess(rec, oscar_setting, tar_back, truncate_dialog))
+        # Preprocessed-example cache (tokenize once across epochs AND runs;
+        # check_and_load_preprocessed_data parity, utils_data.py:241-284).
+        # The fingerprint ties the cache to everything that shapes examples.
+        self._cache_meta = {
+            "n": len(records),
+            "first": records[0]["inst_idx"] if records else "",
+            "last": records[-1]["inst_idx"] if records else "",
+            "vocab": len(tokenizer),
+            "max_seq_length": max_seq_length,
+            "oscar_setting": oscar_setting, "tar_back": tar_back,
+            "mtp": self.mtp, "regions_per_view": regions_per_view,
+            "truncate_dialog": truncate_dialog, "debug": debug,
+        }
+        self.examples = None
+        if cache_path:
+            self.examples = self._load_cache(cache_path)
+        if self.examples is None:
+            self.examples = [
+                self._preprocess(rec, oscar_setting, tar_back, truncate_dialog)
+                for rec in records
+            ]
+            if cache_path:
+                self._save_cache(cache_path)
+
+    def _load_cache(self, path: str):
+        import os
+        import pickle
+
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+        except Exception:
+            return None
+        if payload.get("meta") != self._cache_meta:
+            return None
+        return payload["examples"]
+
+    def _save_cache(self, path: str) -> None:
+        import os
+        import pickle
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"meta": self._cache_meta, "examples": self.examples},
+                        f, protocol=-1)
+        os.replace(tmp, path)
 
     # -- static preprocessing (tokenize once; parity :99-234) ---------------
     def _region_tokens(self, scan: str, viewpoint: str) -> list[str]:
