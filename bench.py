@@ -6,17 +6,32 @@ full-BPTT backward, Adam update — at reference-parity model scale (BERT-base
 encoder, 2048-d scene features + 4-d angle, rnn 512) on one chip, using a
 synthetic world with Matterport-like graph stats.
 
-Baseline: the reference trains NDH fine-tuning with DDP on 4 GPUs at per-GPU
-batch 8 (run_scripts/viewpoint_train/pretrain_ndh_r2r.sh), stepping a C++
-simulator and shipping (B,36,2052)+(B,K,2052) float features host->device
-every rollout step with a device->host action sync (agent.py:379-441).
-BASELINE.md records no published numbers; we use a documented estimate of
-25 nav actions/sec/chip for the reference path (batch 8 x 10 steps per
-~3.2 s/iter per GPU — 2020-era V100-class hardware, torch 1.6, dominated by
-the 512-token BERT encode + per-step host/sim round trips).  The driver's
-north star is >=10x this (BASELINE.json).
+Reported numbers:
+  * value            — nav actions (batch x episode steps) per second per chip.
+  * mfu              — model FLOPs utilization: the XLA cost model's FLOPs for
+                       one train step (jit .cost_analysis()) divided by
+                       (measured step time x chip peak bf16 FLOPs).
+  * vs_baseline      — against a DERIVED speed-of-light upper bound for the
+                       reference's per-GPU path, not a measured number (the
+                       reference repo publishes none, BASELINE.md):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Reference upper-bound derivation (favors the reference):
+  The reference trains fp32 on 2020-era V100-class GPUs (torch 1.6, no AMP in
+  any run script; Dockerfile CUDA 10.2).  Per iteration at per-GPU batch 8:
+  the BERT-base dialog encode of 8x512 tokens costs >= 6*P*T FLOPs
+  (fwd+bwd, P = 85M encoder matmul params, T = 4096 tokens) ~ 2.1 TFLOP,
+  so >= 0.134 s at V100 fp32 peak 15.7 TFLOPs even at 100% MFU.
+  The 10 decoder steps each require a device->host action sync, per-item C++
+  simulator stepping, and a (8,36,2052)+(8,K,2052) f32 feature H2D copy
+  (agent.py:379-441): >= 9.5 MB/step, ~8 ms on PCIe3 + >= 2 ms
+  latency/dispatch floor -> >= 0.10 s/iter.  Lower bound ~0.23 s/iter =
+  80 actions / 0.23 s ~ 350 actions/s/GPU at physically impossible 100%
+  efficiency; at a generous 40% end-to-end efficiency ~ 140 actions/s/GPU.
+  We use BASELINE_ACTIONS_PER_SEC_PER_CHIP = 140 (so vs_baseline is a floor
+  on the true speedup; the previously documented estimate from observed
+  ~3.2 s/iter torch runs was 25 actions/s/GPU, i.e. 5.6x lower).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 """
 
 from __future__ import annotations
@@ -26,12 +41,23 @@ import time
 
 import numpy as np
 
-BASELINE_ACTIONS_PER_SEC_PER_CHIP = 25.0
+BASELINE_ACTIONS_PER_SEC_PER_CHIP = 140.0  # derived upper bound, see docstring
 BATCH = 64
 EPISODE_LEN = 10
 SEQ = 512
 FEAT_DIM = 2048
 TIMED_STEPS = 20
+
+# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
 def main() -> None:
@@ -86,12 +112,37 @@ def main() -> None:
 
     actions = BATCH * EPISODE_LEN * TIMED_STEPS
     per_chip = actions / dt / max(jax.local_device_count(), 1)
-    print(json.dumps({
+
+    # MFU: XLA cost-model FLOPs of the dominant (bucketed) step shape over the
+    # measured wall time.  Batches share one bucket here; if buckets ever
+    # differ this still reports against the first shape.
+    mfu = None
+    step_flops = None
+    try:
+        lowered = agent._train_step_jit.lower(
+            state, agent.trim_batch(batches[0]))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) if cost else None
+        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+        if step_flops and peak:
+            mfu = step_flops * TIMED_STEPS / dt / peak
+    except Exception:
+        pass
+
+    out = {
         "metric": "ndh_finetune_nav_actions_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "actions/s/chip",
         "vs_baseline": round(per_chip / BASELINE_ACTIONS_PER_SEC_PER_CHIP, 2),
-    }))
+        "baseline_kind": "derived_reference_upper_bound_140_actions_per_s",
+        "device": jax.devices()[0].device_kind,
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+        out["step_tflops"] = round(step_flops / 1e12, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Attention cores: flash (Pallas) vs jnp parity, and the model routing flag."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visitron_tpu.ops.attention import (attention_supports_flash,
+                                        flash_attention, multi_head_attention)
+from visitron_tpu.ops.masking import NEG_INF, make_attention_bias
+
+
+def test_flash_matches_jnp_attention():
+    """Interpret-mode Pallas kernel == XLA-fused jnp attention on padded keys."""
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 3, 256, 64
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    keep = np.ones((b, s), np.float32)
+    keep[0, 200:] = 0.0  # padded tail
+    keep[1, 64:] = 0.0
+    key_bias = (1.0 - keep) * NEG_INF
+    ref = multi_head_attention(q, k, v, bias=jnp.asarray(key_bias)[:, None, None, :])
+    got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          jnp.asarray(key_bias), block_q=128, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_supports_flash_predicate():
+    on_tpu = jax.default_backend() == "tpu"
+    assert attention_supports_flash(768, 768, 64) == on_tpu
+    assert not attention_supports_flash(100, 768, 64)   # q not tiled
+    assert not attention_supports_flash(768, 768, 48)   # head dim
+
+
+def test_bert_flag_routes_safely_off_tpu():
+    """use_flash_attention=True must not break on a non-TPU backend (the
+    predicate gates it to the jnp path) and gives identical outputs."""
+    from visitron_tpu.models import BertConfig, BertTextModel
+
+    cfg = BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=128, type_vocab_size=4,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    ids = np.ones((2, 128), np.int32)
+    mask = np.ones((2, 128), np.int32)
+    m0 = BertTextModel(cfg)
+    params = m0.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                     attention_mask=jnp.asarray(mask))
+    out0 = m0.apply(params, jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    m1 = BertTextModel(cfg.replace(use_flash_attention=True))
+    out1 = m1.apply(params, jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out0[0]), np.asarray(out1[0]),
+                               rtol=1e-5, atol=1e-5)

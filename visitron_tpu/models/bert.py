@@ -22,7 +22,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from visitron_tpu.ops.attention import multi_head_attention
+from visitron_tpu.ops.attention import (attention_supports_flash,
+                                        flash_attention, multi_head_attention)
 from visitron_tpu.ops.masking import make_attention_bias
 
 
@@ -46,6 +47,10 @@ class BertConfig:
     action_space: int = 36
     detector_classes: int = 1601
     dtype: Any = jnp.float32  # activation dtype (bfloat16 on TPU)
+    # Route attention through the Pallas blockwise kernel when the shape
+    # tiles (TPU, lengths % 128, head_dim 64/128) and no attention-prob
+    # dropout is active; otherwise the XLA-fused jnp path runs.
+    use_flash_attention: bool = False
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
@@ -115,12 +120,23 @@ class BertSelfAttention(nn.Module):
             kv = qkv_dense(kv_in)[..., cfg.hidden_size :]
             k, v = jnp.split(kv, 2, axis=-1)
         split = lambda x: x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
-        ctx = multi_head_attention(
-            split(q), split(k), split(v), bias=bias,
-            dropout_rng=None if deterministic else self.make_rng("dropout"),
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            deterministic=deterministic,
+        k_len = kv_in.shape[1]
+        use_flash = (
+            cfg.use_flash_attention
+            and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
+            and bias is not None and bias.ndim == 4
+            and bias.shape[1] == 1 and bias.shape[2] == 1
+            and attention_supports_flash(q_len, k_len, d)
         )
+        if use_flash:
+            ctx = flash_attention(split(q), split(k), split(v), bias[:, 0, 0, :])
+        else:
+            ctx = multi_head_attention(
+                split(q), split(k), split(v), bias=bias,
+                dropout_rng=None if deterministic else self.make_rng("dropout"),
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                deterministic=deterministic,
+            )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, cfg.hidden_size)
         return ctx.astype(cfg.dtype)
 

@@ -75,11 +75,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, sm_scal
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False):
     """Pallas blockwise attention. ``key_bias``: (B, K) additive (0 / -inf-ish).
 
     Shapes must tile: Q % block_q == 0, K % block_k == 0, D in {64, 128}.
+    ``interpret`` runs the kernel in Pallas interpret mode (CPU parity tests).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -104,6 +106,7 @@ def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128):
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, qs, d), q.dtype),
+        interpret=interpret,
     )(qr, kr, vr, biasr)
     return out.reshape(b, h, qs, d)
 
