@@ -123,3 +123,23 @@ def test_sampled_rollout_reaches_goals_after_training(setup):
             _, goal_vp = runtime.row_to_id(int(b["goal_rows"][i]))
             hits += tr["path"][-1][0] == goal_vp
     assert hits / total > 0.4, f"{hits}/{total}"
+
+
+def test_rl_training_step_and_learning(setup):
+    """A2C fine-tuning (framework extension; reference ships its Critic
+    unwired): losses finite, critic present, mean return improves on a tiny
+    world."""
+    agent, batcher, _, _ = setup
+    state = agent.init_state(with_critic=True)
+    assert "critic" in state["params"]
+    step = agent.rl_train_step_fn(ml_weight=0.2)
+    batches = [batcher.with_sample_teacher(b) for b in batcher.train_batches(2)]
+    jbs = [{k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
+           for b in batches]
+    assert "dist_col" in jbs[0]
+    returns = []
+    for i in range(60):
+        state, (loss, aux) = step(state, jbs[i % 2])
+        assert np.isfinite(float(loss)), i
+        returns.append(float(aux["mean_return"]))
+    assert np.mean(returns[-10:]) > np.mean(returns[:10])

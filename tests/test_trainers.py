@@ -216,3 +216,16 @@ def test_run_pretrain_resume(tmp_path, monkeypatch):
     cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2, resume=True)
     runner.run_pretrain(cfg2)
     assert CheckpointManager(cfg.output_dir).latest() > first
+
+
+@pytest.mark.slow
+def test_run_viewpoint_rl(tmp_path, monkeypatch):
+    """--feedback_method rl trains A2C end-to-end from the CLI; the saved
+    checkpoint carries the critic and val still scores it (raw restore)."""
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, feedback_method="rl", num_iterations=2, saving_steps=2)
+    state = runner.run_viewpoint(cfg, do_val=True)
+    assert "critic" in state["params"]
+    assert os.path.exists(os.path.join(cfg.output_dir, "val.csv"))

@@ -284,6 +284,7 @@ class NavRuntime:
         b = len(goal_rows)
         v_max = max(g.num_viewpoints for g in self.graphs.values())
         teacher_col = np.full((b, v_max), -1, np.int32)
+        dist_col = np.full((b, v_max), 1e6, np.float32)
         offsets = np.zeros(b, np.int32)
         for i, scan in enumerate(scans):
             g = self.graphs[scan]
@@ -291,8 +292,13 @@ class NavRuntime:
             goal = int(goal_rows[i]) - off
             col = g.next_hop[:, goal].astype(np.int32)
             teacher_col[i, : g.num_viewpoints] = np.where(col >= 0, col + off, -1)
+            # Metric distance-to-goal per viewpoint: the on-device RL reward
+            # (progress + success bonus) is a gather into this column.
+            d = g.dist[:, goal].astype(np.float32)
+            dist_col[i, : g.num_viewpoints] = np.where(np.isfinite(d), d, 1e6)
             offsets[i] = off
-        return {"teacher_col": teacher_col, "scan_offset": offsets}
+        return {"teacher_col": teacher_col, "dist_col": dist_col,
+                "scan_offset": offsets}
 
     def teacher_rollout_arrays(self, scans: list[str], start_rows: np.ndarray,
                                start_views: np.ndarray, goal_rows: np.ndarray,

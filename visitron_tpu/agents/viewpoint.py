@@ -101,13 +101,18 @@ class ViewpointAgent:
         )
         self.optimizer = agent_optimizer(
             self.learning_rate, self.optimizer_kind, self.max_grad_norm)
+        from visitron_tpu.models import Critic
+
+        self._critic = Critic(hidden_size=self.rnn_dim, dropout_ratio=self.dropout)
         self._train_step = None
         self._encode = {}
         self._student_step = {}
         self.results: dict = {}
 
     # -- parameter init ------------------------------------------------------
-    def init_state(self) -> dict:
+    def init_state(self, with_critic: bool = False) -> dict:
+        """``with_critic``: include the value head used by RL fine-tuning
+        (models/speaker.py:Critic — present-but-unwired in the reference)."""
         rng = jax.random.PRNGKey(self.seed)
         s = self.max_seq_length
         d = self.feature_dim + self.angle_feat_size
@@ -117,7 +122,7 @@ class ViewpointAgent:
         # (critical on remote-attached TPUs where eager dispatch is a RPC).
         @jax.jit
         def init(rng):
-            r1, r2 = jax.random.split(rng)
+            r1, r2, r3 = jax.random.split(rng, 3)
             ids = jnp.ones((1, s), jnp.int32)
             lengths = jnp.array([s])
             enc_params = self.encoder.init(r1, ids, lengths)
@@ -130,7 +135,11 @@ class ViewpointAgent:
                 jnp.zeros((1, self.rnn_dim)),
                 jnp.zeros((1, s, self.encoder_hidden_size)),
             )
-            return {"encoder": enc_params, "decoder": dec_params}
+            out = {"encoder": enc_params, "decoder": dec_params}
+            if with_critic:
+                out["critic"] = self._critic.init(
+                    r3, jnp.zeros((1, self.rnn_dim)))
+            return out
 
         params = init(rng)
         state = {
@@ -299,6 +308,132 @@ class ViewpointAgent:
 
             batch = shard_batch(self.mesh, batch)
         return batch
+
+    def _rl_episode_loss(self, params, batch, rng, deterministic,
+                         gamma: float = 0.9, ml_weight: float = 0.05,
+                         entropy_weight: float = 0.01,
+                         success_margin: float = 3.0,
+                         success_bonus: float = 3.0):
+        """Advantage actor-critic over a fully on-device sampled episode.
+
+        Extension beyond the reference (its Critic ships unwired,
+        agent_models.py:632-643): per-step reward = metric progress toward
+        the goal (dist-to-goal gathers from NavRuntime columns) plus a
+        +/- success bonus at the stop action; policy gradient with a critic
+        baseline, entropy bonus, and an optional teacher-CE mixing term
+        (EnvDrop-style ML+RL).  Everything — sampling, transitions, rewards,
+        supervision — runs inside one jitted lax.scan.
+        """
+        rt = self.runtime
+        ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
+        rng, enc_rng = jax.random.split(rng)
+        ctx, h_t, c_t = self.encoder.apply(
+            params["encoder"], ids, lengths, token_type_ids=segs,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": enc_rng},
+        )
+        ctx_mask = jnp.arange(ids.shape[1])[None, :] >= lengths[:, None]
+        t_len = self.episode_len
+        step_rngs = jax.random.split(rng, t_len)
+        b = ids.shape[0]
+        goal = jnp.asarray(batch["goal_rows"])
+        teacher_col = jnp.asarray(batch["teacher_col"])
+        dist_col = jnp.asarray(batch["dist_col"])
+        offset = jnp.asarray(batch["scan_offset"])
+        b_idx = jnp.arange(b)
+
+        def step(carry, xs):
+            h1, c, cur_row, view, ended = carry
+            step_rng, dropout_rng, critic_rng = jax.random.split(xs, 3)
+            a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
+            h_new, c_new, logit, h_tilde = self.decoder.apply(
+                params["decoder"], a_t, f_t, cand_feat, h1, c, ctx, ctx_mask,
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": dropout_rng},
+            )
+            logit = jnp.where(cand_mask, NEG_INF, logit).astype(jnp.float32)
+            counts = rt.count[cur_row]
+            # Teacher slot for the ML mixing term (same math as the sampled loss).
+            at_goal = cur_row == goal
+            t_next = teacher_col[b_idx, cur_row - offset]
+            slot = jnp.argmax(rt.nbr[cur_row] == t_next[:, None], axis=-1)
+            teacher = jnp.where(at_goal, counts, slot)
+            logp_all = jax.nn.log_softmax(logit, axis=-1)
+            p_all = jnp.exp(logp_all)
+            entropy = -jnp.sum(jnp.where(cand_mask, 0.0, p_all * logp_all), axis=-1)
+            a = jax.random.categorical(step_rng, logit)
+            logp = jnp.take_along_axis(logp_all, a[:, None], axis=-1)[:, 0]
+            value = self._critic.apply(
+                params["critic"], h_tilde.astype(jnp.float32),
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": critic_rng})
+            ce = optax.softmax_cross_entropy_with_integer_labels(logit, teacher)
+            # Transition + reward.
+            stop = a >= counts
+            active = (~ended).astype(jnp.float32)
+            move = (~ended) & (~stop)
+            safe_a = jnp.minimum(a, rt.max_candidates - 1)
+            nxt_row = rt.nbr[cur_row, safe_a]
+            cur_row2 = jnp.where(move, nxt_row, cur_row).astype(jnp.int32)
+            view2 = jnp.where(move, rt.point[cur_row, safe_a], view).astype(jnp.int32)
+            d_cur = dist_col[b_idx, cur_row - offset]
+            d_new = dist_col[b_idx, cur_row2 - offset]
+            first_stop = (~ended) & stop
+            reward = jnp.where(
+                first_stop,
+                jnp.where(d_cur < success_margin, success_bonus, -success_bonus),
+                (d_cur - d_new)) * active
+            new_ended = ended | stop
+            return ((h_tilde, c_new, cur_row2, view2, new_ended),
+                    (logp, value, reward, active, entropy, ce))
+
+        init = (h_t, c_t, jnp.asarray(batch["start_rows"]),
+                jnp.asarray(batch["start_views"]), jnp.zeros(b, bool))
+        _, (logp, value, reward, active, entropy, ce) = jax.lax.scan(
+            step, init, step_rngs)
+
+        # Discounted returns: reverse scan R_t = r_t + gamma R_{t+1}.
+        def disc(r_next, r_t):
+            r = r_t + gamma * r_next
+            return r, r
+
+        _, returns = jax.lax.scan(disc, jnp.zeros(b), reward, reverse=True)
+        n = jnp.maximum(active.sum(), 1.0)
+        adv = jax.lax.stop_gradient(returns - value)
+        policy_loss = -jnp.sum(logp * adv * active) / n
+        critic_loss = jnp.sum((returns - value) ** 2 * active) / n
+        ent = jnp.sum(entropy * active) / n
+        ml = jnp.sum(ce * active) / n
+        total = (policy_loss + 0.5 * critic_loss - entropy_weight * ent
+                 + ml_weight * ml)
+        aux = {"policy_loss": policy_loss, "critic_loss": critic_loss,
+               "entropy": ent, "ml_loss": ml,
+               "mean_return": jnp.sum(returns * active) / n}
+        return total, aux
+
+    def rl_train_step_fn(self, gamma: float = 0.9, ml_weight: float = 0.05,
+                         entropy_weight: float = 0.01):
+        """A2C train step (requires ``init_state(with_critic=True)``)."""
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch):
+            rng, step_rng = jax.random.split(state["rng"])
+
+            def loss_fn(p):
+                return self._rl_episode_loss(
+                    p, batch, step_rng, False, gamma=gamma,
+                    ml_weight=ml_weight, entropy_weight=entropy_weight)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"])
+            updates, opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state, "rng": rng}, (loss, aux)
+
+        def run(state, batch):
+            return train_step(state, self._place_batch(batch))
+
+        return run
 
     def sample_train_step_fn(self, feedback: str = "sample"):
         """Train step for student-forced training (reference default

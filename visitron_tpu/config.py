@@ -106,8 +106,10 @@ class RunConfig:
         valid = ("planner_path", "player_path", "trusted_path")
         if self.path_type not in valid:
             raise ValueError(f"--path_type must be one of {valid}, got {self.path_type!r}")
+        # "rl" (A2C with critic baseline) is an extension beyond the
+        # reference's sample|teacher surface; the rest mirror utils.py:381-427.
         if self.feedback_method not in ("teacher", "argmax", "sample", "topk",
-                                        "nucleus", "temperature", "penalty"):
+                                        "nucleus", "temperature", "penalty", "rl"):
             raise ValueError(f"invalid --feedback_method {self.feedback_method!r}")
         if self.scheduler not in ("linear", "constant"):
             raise ValueError(f"--scheduler must be linear or constant, got {self.scheduler!r}")

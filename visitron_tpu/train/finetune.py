@@ -102,8 +102,9 @@ class ViewpointTrainer:
                          "%d iterations", len(instances), batch_size, n_dev,
                          cfg.num_iterations)
         batcher = self._batcher(instances, batch_size, per_host=True)
+        rl = cfg.feedback_method == "rl"
         if state is None:
-            state = self.agent.init_state()
+            state = self.agent.init_state(with_critic=rl)
             state = self._maybe_load_pretrained(state)
         start_it = 0
         if resume and self.ckpt.latest() is not None:
@@ -118,9 +119,12 @@ class ViewpointTrainer:
             self.logger.info("resumed from checkpoint-%d", start_it)
         # feedback_method selects the rollout policy during training
         # (reference params.py:201-207 allows sample|teacher; the extended
-        # strategies of utils.py:381-427 are wired as student variants here).
+        # strategies of utils.py:381-427 are wired as student variants here;
+        # "rl" is the A2C extension).
         student = cfg.feedback_method != "teacher"
-        if student:
+        if rl:
+            step = self.agent.rl_train_step_fn()
+        elif student:
             step = self.agent.sample_train_step_fn(cfg.feedback_method)
         else:
             step = self.agent.train_step_fn()
@@ -141,7 +145,8 @@ class ViewpointTrainer:
                 jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
                 profiling = True
             jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-            state, loss = step(state, jb)
+            state, out = step(state, jb)
+            loss, aux = out if isinstance(out, tuple) else (out, None)
             if profiling and i == profile_steps:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
@@ -149,8 +154,9 @@ class ViewpointTrainer:
             losses.append(float(loss))
             if it % cfg.logging_steps == 0:
                 avg = float(np.mean(losses[-cfg.logging_steps:]))
-                self.logger.info("iter %d loss %.4f", it, avg)
-                metrics.log({"loss": avg}, step=it)
+                extra = {k: float(v) for k, v in (aux or {}).items()}
+                self.logger.info("iter %d loss %.4f %s", it, avg, extra or "")
+                metrics.log({"loss": avg, **extra}, step=it)
             if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
                 self.ckpt.save(it, state["params"], state["opt_state"])
         if profiling:
@@ -184,8 +190,9 @@ class ViewpointTrainer:
             latest = self.ckpt.latest()
             state = self.agent.init_state()
             if latest is not None:
-                state["params"] = self.ckpt.restore(
-                    latest, {"params": state["params"]})["params"]
+                # Raw restore: tolerates checkpoints with extra subtrees
+                # (e.g. the RL critic) — rollouts use encoder/decoder only.
+                state["params"] = self.ckpt.restore_raw(latest)
         instances = self._instances([split])
         batcher = self._batcher(instances, cfg.per_gpu_eval_batch_size)
         results = self.agent.test(state["params"], batcher.eval_batches(),
@@ -212,8 +219,8 @@ class ViewpointTrainer:
             if ckpt_step is None:
                 params = template_params
             else:
-                params = self.ckpt.restore(
-                    ckpt_step, {"params": template_params})["params"]
+                # Raw restore tolerates RL checkpoints (extra critic subtree).
+                params = self.ckpt.restore_raw(ckpt_step)
             for split in splits:
                 instances, batcher = split_assets[split]
                 # Loss pass: teacher-forced with dropout (train.py:318-320).
