@@ -37,12 +37,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_ACTIONS_PER_SEC_PER_CHIP = 140.0  # derived upper bound, see docstring
-BATCH = 64
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 EPISODE_LEN = 10
 SEQ = 512
 FEAT_DIM = 2048
@@ -62,6 +63,10 @@ PEAK_BF16_FLOPS = {
 
 def main() -> None:
     import jax
+
+    # Counter-based RBG PRNG: same dropout semantics, ~24% faster than
+    # threefry at these shapes (the framework CLI default, config.rng_impl).
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from visitron_tpu.agents import NavRuntime, ViewpointAgent

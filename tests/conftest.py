@@ -28,6 +28,15 @@ import pytest  # noqa: E402
 from visitron_tpu.testing import SyntheticWorld  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _pin_prng_impl():
+    """The CLI sets jax_default_prng_impl per --rng_impl (run.main); keep that
+    global mutation from leaking into other tests' seeded expectations."""
+    impl = jax.config.jax_default_prng_impl
+    yield
+    jax.config.update("jax_default_prng_impl", impl)
+
+
 @pytest.fixture(scope="session")
 def world():
     return SyntheticWorld(seed=7, num_scans=2, viewpoints_per_scan=24,

@@ -55,3 +55,27 @@ def test_bert_flag_routes_safely_off_tpu():
     out1 = m1.apply(params, jnp.asarray(ids), attention_mask=jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(out0[0]), np.asarray(out1[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_grad_matches_jnp():
+    """custom_vjp: gradients through the flash path equal the jnp path's
+    (the backward recomputes via XLA — flash-style)."""
+    rng = np.random.default_rng(1)
+    b, h, s, d = 1, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    key_bias = jnp.zeros((b, s), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return flash_attention(q, k, v, key_bias, 128, 128, True).sum()
+
+    def loss_ref(q, k, v):
+        return multi_head_attention(q, k, v,
+                                    bias=key_bias[:, None, None, :]).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

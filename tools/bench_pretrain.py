@@ -18,9 +18,9 @@ import numpy as np
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
     __import__("os").path.abspath(__file__))))
 
-BATCH = 32
+BATCH = 16
 SEQ = 512
-IMG = 256
+IMG = 256  # joint 768 tokens: flash-eligible (%128)
 TIMED = 20
 
 
@@ -69,5 +69,5 @@ def run(use_flash: bool) -> dict:
 
 
 if __name__ == "__main__":
-    for flash in (False, True):
+    for flash in (False, True, False, True):
         print(json.dumps(run(flash)), flush=True)

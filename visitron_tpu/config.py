@@ -101,6 +101,11 @@ class RunConfig:
     mesh_tp: int = 1
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
+    # PRNG implementation for dropout/sampling: XLA's counter-based RBG is
+    # ~24% faster end-to-end on TPU than threefry at BERT-base dropout
+    # volumes (VALIDATION.md); set threefry2x32 for cross-impl key
+    # reproducibility.
+    rng_impl: str = "rbg"
 
     def __post_init__(self):
         valid = ("planner_path", "player_path", "trusted_path")
@@ -113,6 +118,8 @@ class RunConfig:
             raise ValueError(f"invalid --feedback_method {self.feedback_method!r}")
         if self.scheduler not in ("linear", "constant"):
             raise ValueError(f"--scheduler must be linear or constant, got {self.scheduler!r}")
+        if self.rng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):
+            raise ValueError(f"invalid --rng_impl {self.rng_impl!r}")
 
     @property
     def episode_len(self) -> int:

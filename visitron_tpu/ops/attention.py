@@ -75,14 +75,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, sm_scal
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128,
                     interpret: bool = False):
     """Pallas blockwise attention. ``key_bias``: (B, K) additive (0 / -inf-ish).
 
     Shapes must tile: Q % block_q == 0, K % block_k == 0, D in {64, 128}.
     ``interpret`` runs the kernel in Pallas interpret mode (CPU parity tests).
+
+    Differentiable: the backward pass recomputes attention through the
+    jnp/XLA-fused path (flash-style recomputation — the (B, H, Q, K)
+    probability tensor is never stored between fwd and bwd).
     """
+    return _flash_forward(q, k, v, key_bias, block_q, block_k, interpret)
+
+
+def _flash_forward(q, k, v, key_bias, block_q, block_k, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -109,6 +117,25 @@ def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128,
         interpret=interpret,
     )(qr, kr, vr, biasr)
     return out.reshape(b, h, qs, d)
+
+
+def _flash_fwd_rule(q, k, v, key_bias, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, key_bias, block_q, block_k, interpret)
+    return out, (q, k, v, key_bias)
+
+
+def _flash_bwd_rule(block_q, block_k, interpret, res, g):
+    q, k, v, key_bias = res
+
+    def ref(q, k, v):
+        return multi_head_attention(q, k, v, bias=key_bias[:, None, None, :])
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(key_bias)
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def attention_supports_flash(q_len: int, k_len: int, head_dim: int) -> bool:

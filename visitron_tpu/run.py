@@ -328,6 +328,11 @@ def main(argv=None):
         cfg = dataclasses.replace(base, **RunConfig.cli_overrides(rest[2:]))
     else:
         cfg = RunConfig.from_args(rest)
+    import jax
+
+    # Counter-based RBG dropout/sampling keys: ~24% faster nav training on
+    # TPU than threefry at BERT-base dropout volumes (VALIDATION.md).
+    jax.config.update("jax_default_prng_impl", cfg.rng_impl)
     if task == "viewpoint":
         run_viewpoint(cfg)
     elif task == "turn_based":
