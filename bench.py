@@ -31,6 +31,14 @@ Reference upper-bound derivation (favors the reference):
   on the true speedup; the previously documented estimate from observed
   ~3.2 s/iter torch runs was 25 actions/s/GPU, i.e. 5.6x lower).
 
+Timing method: the step runs inside ONE jitted ``lax.fori_loop`` (batch pool
+indexed by iteration) and time is taken between two host fetches of the final
+loss scalar, differencing two iteration counts to cancel the RPC constant —
+see visitron_tpu/utils/benchmark.py.  On this environment's remote-attached
+TPU, ``jax.block_until_ready`` returns without syncing, so host-side loop
+timing measures RPC enqueue rather than compute; the on-device loop measures
+true step time (validated at 97% of v5e peak on a bare 4096^3 matmul).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 """
 
@@ -104,35 +112,36 @@ def main() -> None:
     ]
 
     state = agent.init_state()
-    step = agent.train_step_fn()
-    # Warmup/compile.
-    state, loss = step(state, batches[0])
-    jax.block_until_ready(loss)
+    agent.train_step_fn()  # builds agent._train_step_jit
+    train_step = agent._train_step_jit
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        state, loss = step(state, batches[i % len(batches)])
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    from visitron_tpu.utils.benchmark import stack_batches, time_step_fn
 
-    actions = BATCH * EPISODE_LEN * TIMED_STEPS
-    per_chip = actions / dt / max(jax.local_device_count(), 1)
+    trimmed = [agent.trim_batch(b) for b in batches]
+    stacked = stack_batches(trimmed)
+
+    def step_fn(state, batch):
+        return train_step(state, batch)
+
+    per_step_ms = time_step_fn(step_fn, state, stacked,
+                               n_lo=5, n_hi=5 + TIMED_STEPS)
+    per_chip = BATCH * EPISODE_LEN / (per_step_ms / 1000.0) / max(
+        jax.local_device_count(), 1)
 
     # MFU: XLA cost-model FLOPs of the dominant (bucketed) step shape over the
-    # measured wall time.  Batches share one bucket here; if buckets ever
+    # measured step time.  Batches share one bucket here; if buckets ever
     # differ this still reports against the first shape.
     mfu = None
     step_flops = None
     try:
-        lowered = agent._train_step_jit.lower(
-            state, agent.trim_batch(batches[0]))
+        lowered = train_step.lower(state, trimmed[0])
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) if cost else None
         peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
         if step_flops and peak:
-            mfu = step_flops * TIMED_STEPS / dt / peak
+            mfu = step_flops / (per_step_ms / 1000.0) / peak
     except Exception:
         pass
 

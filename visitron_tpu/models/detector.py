@@ -13,7 +13,11 @@ image->regions path is ONE jitted XLA program:
   * proposal selection: top-K pre-NMS, fixed-iteration NMS at 0.7, top
     ``num_rois`` kept (fixed, padded by lowest-score boxes);
   * per-ROI head: ROI-align 14x14 on C4, conv5 stage, global pool -> 2048-d
-    pool5 features (exactly the vector the reference extracts, :205);
+    pool5 features (exactly the vector the reference extracts, :205).
+    Documented deviation: the caffe net uses quantizing ROIPooling (max);
+    bilinear ROI-align is the strictly-more-accurate successor (Mask R-CNN
+    §3) and is gather-friendly on TPU — features from converted weights
+    differ slightly at box edges but rank/semantics are preserved;
   * heads: 1601-way softmax, class-conditioned attribute branch (class
     embedding 256 ⧺ pool5 -> fc 512 -> 401-way softmax), and the (unused for
     extraction) per-class bbox regression, matching the Caffe net.
@@ -197,6 +201,7 @@ class ConvBody(nn.Module):
 
     depth: int = 101
     caffe_preproc: bool = False
+    caffe_v1: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -211,12 +216,18 @@ class ConvBody(nn.Module):
                     use_bias=False, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # caffe pool1 is k3 s2 pad0 ceil-mode (windows anchored at pixel 0,
+        # implicit bottom/right pad); torch-style is pad1 both sides.  Same
+        # output size, different window alignment — weights only reproduce
+        # under their own convention.
+        pool_pad = [(0, 1), (0, 1)] if self.caffe_v1 else [(1, 1), (1, 1)]
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         width = 64
         for si, n in enumerate(blocks[:3]):
             for bi in range(n):
                 stride = 2 if (si > 0 and bi == 0) else 1
                 x = Bottleneck(width, strides=stride, downsample=bi == 0,
+                               caffe_v1=self.caffe_v1,
                                name=f"layer{si + 1}_{bi}")(x)
             width *= 2
         return x  # (H/16, W/16, 1024)
@@ -226,13 +237,14 @@ class Conv5Head(nn.Module):
     """ResNet conv5 applied per ROI (14x14 -> 7x7 -> global pool 2048)."""
 
     depth: int = 101
+    caffe_v1: bool = False
 
     @nn.compact
     def __call__(self, rois):  # (N, 14, 14, 1024)
         x = rois
         for bi in range(STAGE_BLOCKS[self.depth][3]):
             x = Bottleneck(512, strides=2 if bi == 0 else 1, downsample=bi == 0,
-                           name=f"layer4_{bi}")(x)
+                           caffe_v1=self.caffe_v1, name=f"layer4_{bi}")(x)
         return jnp.mean(x, axis=(1, 2))  # (N, 2048)
 
 
@@ -263,13 +275,15 @@ class FasterRCNN(nn.Module):
     anchor_scales: tuple = ANCHOR_SCALES
     anchor_ratios: tuple = ANCHOR_RATIOS
     caffe_preproc: bool = False
+    caffe_v1: bool = False  # original stride placement + pool alignment
 
     @nn.compact
     def __call__(self, image):
         """image (H, W, 3) float in [0,1] -> dict(boxes, scores, cls_prob,
         attr_prob, features, bbox_deltas)."""
         h, w = image.shape[0], image.shape[1]
-        feat = ConvBody(self.depth, self.caffe_preproc, name="body")(image[None])[0]
+        feat = ConvBody(self.depth, self.caffe_preproc, self.caffe_v1,
+                        name="body")(image[None])[0]
         fh, fw = feat.shape[0], feat.shape[1]
         logits, deltas = RPN(name="rpn")(feat[None])
         a = len(self.anchor_scales) * len(self.anchor_ratios)
@@ -293,7 +307,7 @@ class FasterRCNN(nn.Module):
         boxes = top_boxes[keep]
         scores = keep_scores
         rois = roi_align(feat, boxes, self.roi_size)
-        pooled = Conv5Head(self.depth, name="head")(rois)  # (R, 2048)
+        pooled = Conv5Head(self.depth, self.caffe_v1, name="head")(rois)  # (R, 2048)
         cls_logits = nn.Dense(self.num_classes, name="cls_score")(pooled)
         cls_prob = jax.nn.softmax(cls_logits, axis=-1)
         bbox_deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(pooled)
@@ -346,6 +360,7 @@ class BottomUpDetector:
     @classmethod
     def from_caffe_dump(cls, state: dict, depth: int = 101, **kw):
         kw.setdefault("caffe_preproc", True)
+        kw.setdefault("caffe_v1", True)
         model = FasterRCNN(depth=depth, **kw)
         return cls(params={"params": convert_caffe_bottomup(state, depth)},
                    model=model)

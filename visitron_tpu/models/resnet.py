@@ -42,16 +42,27 @@ def _conv(features, kernel, strides=1, name=None):
 
 
 class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual block.
+
+    ``caffe_v1``: the original (Kaiming/caffe, and hence bottom-up-attention
+    VG) ResNet puts the stride on the first 1x1 conv; torchvision's "v1.5"
+    puts it on the 3x3.  The published caffe weights only reproduce under v1
+    stride placement.
+    """
+
     features: int  # bottleneck width; output is 4x
     strides: int = 1
     downsample: bool = False
+    caffe_v1: bool = False
 
     @nn.compact
     def __call__(self, x):
-        out = _conv(self.features, 1, name="conv1")(x)
+        s1 = self.strides if self.caffe_v1 else 1
+        s2 = 1 if self.caffe_v1 else self.strides
+        out = _conv(self.features, 1, s1, name="conv1")(x)
         out = FrozenBatchNorm(self.features, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, self.strides, name="conv2")(out)
+        out = _conv(self.features, 3, s2, name="conv2")(out)
         out = FrozenBatchNorm(self.features, name="bn2")(out)
         out = nn.relu(out)
         out = _conv(self.features * 4, 1, name="conv3")(out)

@@ -1,0 +1,115 @@
+"""Honest on-device step timing for remote-attached (relay/tunnel) TPUs.
+
+On a locally-attached TPU, ``dispatch; jax.block_until_ready(out)`` measures
+device time.  On a remote PJRT relay (this environment's tunneled chip),
+``block_until_ready`` can return immediately — results materialize only when
+bytes are fetched — so host-side loops measure *enqueue/RPC* time, not
+compute.  (Measured here: a chained 4096^3-matmul loop "timed" at 0.02 ms by
+block_until_ready vs 0.72 ms true — 97% of v5e peak — once timed on device.)
+
+The robust recipe, used by :func:`time_step_fn`:
+
+  1. run N iterations of the step inside ONE jitted ``lax.fori_loop``,
+  2. force a real sync by fetching one scalar to the host (``float()``),
+  3. difference two iteration counts to cancel the RPC/dispatch constant.
+
+This measures pure device step time — the number that matters for chip
+throughput — and is identical to host-loop timing on non-relay hardware.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def stack_batches(batches: list) -> dict:
+    """Stack a list of same-shape batch dicts into one leading-dim pytree."""
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def time_step_fn(step_fn: Callable, state, stacked_batches, *, n_lo: int = 5,
+                 n_hi: int = 25, repeats: int = 3) -> float:
+    """Per-step milliseconds of ``step_fn(state, batch) -> (state, scalar)``.
+
+    ``stacked_batches``: pytree whose leaves carry a leading "batch pool" dim;
+    iteration i uses pool entry ``i % pool``.  The loop runs on device inside
+    one jit; per-step time = (t(n_hi) - t(n_lo)) / (n_hi - n_lo), min over
+    ``repeats`` (min is the right statistic for a quiet-device estimate).
+    """
+    pool = jax.tree.leaves(stacked_batches)[0].shape[0]
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def loop(state, batches, n):
+        def body(i, carry):
+            state, _ = carry
+            batch = jax.tree.map(lambda x: x[i % pool], batches)
+            return step_fn(state, batch)
+
+        zero = jnp.zeros((), jnp.float32)
+        state, last = jax.lax.fori_loop(0, n, body, (state, zero))
+        return jnp.asarray(last, jnp.float32)
+
+    def run(n):
+        best = float("inf")
+        # compile + warm
+        float(loop(state, stacked_batches, n))
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(loop(state, stacked_batches, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = run(n_lo), run(n_hi)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+
+
+def time_fn(fn: Callable, *args, n_lo: int = 5, n_hi: int = 25,
+            repeats: int = 3) -> float:
+    """Per-call milliseconds of a stateless ``fn(*args) -> pytree``.
+
+    Each iteration's inputs are perturbed by ``acc * 1e-38`` (numerically nil,
+    but a real data dependence on the previous iteration's output), so XLA can
+    neither hoist the body out of the loop (LICM) nor dead-code it.
+    """
+    import functools
+
+    flat, treedef = jax.tree.flatten(args)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(flat, n):
+        def body(i, carry):
+            flat, acc = carry
+            args_i = jax.tree.unflatten(treedef, flat)
+            out = fn(*args_i)
+            acc = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(out)
+                      if jnp.issubdtype(l.dtype, jnp.floating)) + acc * 0.5
+            eps = acc * 1e-38  # non-foldable, numerically negligible
+            new_flat = [
+                x + eps.astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x
+                for x in flat
+            ]
+            return new_flat, acc
+
+        flat, acc = jax.lax.fori_loop(0, n, body, (flat, jnp.zeros((), jnp.float32)))
+        return acc
+
+    def run(n):
+        best = float("inf")
+        float(loop(flat, n))
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(loop(flat, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = run(n_lo), run(n_hi)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1000.0
