@@ -17,13 +17,54 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: jit programs compiled by one test run are
 # reloaded by later runs (the suite is compile-dominated on a 1-core host).
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Set through the environment as well as jax.config so that subprocesses
+# spawned by tests (multihost workers, dryrun re-exec, CLI runs) inherit it.
+_cache_dir = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402,F401
 import pytest  # noqa: E402
+
+# -- suite-wide speedup: route eager flax init/apply through jax.jit ---------
+# Eager (un-jitted) dispatch on this 1-core host costs ~10-50 ms per XLA op,
+# so a single un-jitted ``Module.init`` of even a tiny model takes ~10 s.
+# Library code always jits its hot paths; tests call init/apply directly.
+# Wrap both so array leaves are traced and every other argument (python
+# bools/ints like ``deterministic``) is closed over statically — semantics
+# identical, but each call is ONE compiled program, shared via the
+# persistent compilation cache across tests and runs.
+import flax.linen as _nn  # noqa: E402
+
+
+def _jit_entry(orig):
+    def wrapper(self, *args, **kwargs):
+        leaves, treedef = jax.tree.flatten((args, kwargs))
+        is_dyn = [isinstance(l, (jax.Array, np.ndarray)) for l in leaves]
+        dyn = [l for l, d in zip(leaves, is_dyn) if d]
+        static = [None if d else l for l, d in zip(leaves, is_dyn)]
+
+        def inner(dyn):
+            it = iter(dyn)
+            merged = [next(it) if d else s for s, d in zip(static, is_dyn)]
+            a, kw = jax.tree.unflatten(treedef, merged)
+            return orig(self, *a, **kw)
+
+        try:
+            return jax.jit(inner)(dyn)
+        except Exception:
+            return orig(self, *args, **kwargs)  # e.g. non-jittable outputs
+
+    return wrapper
+
+
+_nn.Module.init = _jit_entry(_nn.Module.init)
+_nn.Module.apply = _jit_entry(_nn.Module.apply)
 
 from visitron_tpu.testing import SyntheticWorld  # noqa: E402
 

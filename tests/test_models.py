@@ -122,7 +122,7 @@ def test_mlm_weights_are_tied(rng):
         out = model.apply(p, ids, attention_mask=jnp.ones((1, 8), jnp.int32))
         return pretrain_loss(out, labels)["loss"]
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     g = grads["params"]["bert"]["word_embeddings"]["embedding"]
     # Rows other than the input token must receive decoder-side gradient.
     assert float(jnp.abs(g[3]).sum()) > 0

@@ -18,6 +18,11 @@ _WORKER = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Workers share a cache with each other but not with the 8-device main suite:
+# entries compiled under different XLA flags can be rejected at load time on
+# machine-feature checks, making one worker cold while the other is warm.
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    os.environ["JAX_COMPILATION_CACHE_DIR"] += "-multihost"
 os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:%PORT%"
 os.environ["JAX_NUM_PROCESSES"] = "2"
 os.environ["JAX_PROCESS_ID"] = sys.argv[1]
@@ -63,11 +68,24 @@ agent = ViewpointAgent(cfg, runtime, feature_dim=32, episode_len=4,
 batcher = NavEpisodeBatcher(instances, runtime, batch_size=2,
                             host_id=jax.process_index(), num_hosts=2)
 state = agent.init_state()
-step = agent.train_step_fn()
-losses = []
+agent.train_step_fn()
+from visitron_tpu.parallel import shard_batch
+placed = []
 for batch in batcher.train_batches(2, episode_len=4):
     jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-    state, loss = step(state, jb)
+    placed.append(shard_batch(mesh, jb))
+# Compile BEFORE any cross-process collective executes, then meet at a
+# barrier: compile-time skew between the processes (cold vs warm persistent
+# cache) must not eat into Gloo's 30 s collective rendezvous timeout.
+compiled = agent._train_step_jit.lower(state, placed[0]).compile()
+from jax._src import distributed as _dist
+try:
+    _dist.global_state.client.wait_at_barrier("compiled", 300_000)
+except Exception as e:  # barrier API moved: fall back to running unsynced
+    print("barrier skipped:", e, flush=True)
+losses = []
+for pb in placed:
+    state, loss = compiled(state, pb)
     losses.append(float(loss))
 assert all(np.isfinite(losses)), losses
 print(f"RESULT {jax.process_index()} {losses[0]:.6f} {losses[1]:.6f}", flush=True)
