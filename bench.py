@@ -106,9 +106,12 @@ def main() -> None:
                            episode_len=EPISODE_LEN, max_seq_length=SEQ)
     batcher = NavEpisodeBatcher(instances, runtime, batch_size=BATCH,
                                 path_type="planner_path")
+    # One epoch-representative mix of batches: length-grouped shuffling means
+    # batches land in different 128-multiple dialog buckets; time each bucket
+    # shape and weight by how often it occurs.
     batches = [
         {k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
-        for b in batcher.train_batches(4, episode_len=EPISODE_LEN)
+        for b in batcher.train_batches(8, episode_len=EPISODE_LEN)
     ]
 
     state = agent.init_state()
@@ -117,33 +120,38 @@ def main() -> None:
 
     from visitron_tpu.utils.benchmark import stack_batches, time_step_fn
 
-    trimmed = [agent.trim_batch(b) for b in batches]
-    stacked = stack_batches(trimmed)
+    groups: dict[int, list] = {}
+    for b in batches:
+        t = agent.trim_batch(b)
+        groups.setdefault(t["ids"].shape[1], []).append(t)
 
     def step_fn(state, batch):
         return train_step(state, batch)
 
-    per_step_ms = time_step_fn(step_fn, state, stacked,
-                               n_lo=5, n_hi=5 + TIMED_STEPS)
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    total_ms = 0.0
+    total_flops = 0.0
+    have_flops = True
+    for seq_len, group in sorted(groups.items()):
+        stacked = stack_batches(group)
+        ms = time_step_fn(step_fn, state, stacked,
+                          n_lo=5, n_hi=5 + TIMED_STEPS)
+        total_ms += ms * len(group)
+        try:
+            cost = train_step.lower(state, group[0]).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            total_flops += float(cost.get("flops", 0.0)) * len(group)
+        except Exception:
+            have_flops = False
+    per_step_ms = total_ms / len(batches)
     per_chip = BATCH * EPISODE_LEN / (per_step_ms / 1000.0) / max(
         jax.local_device_count(), 1)
 
-    # MFU: XLA cost-model FLOPs of the dominant (bucketed) step shape over the
-    # measured step time.  Batches share one bucket here; if buckets ever
-    # differ this still reports against the first shape.
-    mfu = None
-    step_flops = None
-    try:
-        lowered = train_step.lower(state, trimmed[0])
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0)) if cost else None
-        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
-        if step_flops and peak:
-            mfu = step_flops / (per_step_ms / 1000.0) / peak
-    except Exception:
-        pass
+    # MFU: XLA cost-model FLOPs over measured time, weighted over the mix.
+    step_flops = total_flops / len(batches) if have_flops and total_flops else None
+    mfu = (step_flops / (per_step_ms / 1000.0) / peak
+           if step_flops and peak else None)
 
     out = {
         "metric": "ndh_finetune_nav_actions_per_sec_per_chip",

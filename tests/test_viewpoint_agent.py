@@ -167,3 +167,25 @@ def test_teacher_training_reaches_goal(world, agent, batcher, instances):
             if tr["path"][-1][0] == goal_vp:
                 hits += 1
     assert hits / total > 0.5, f"only {hits}/{total} rollouts reached the goal"
+
+
+def test_length_sort_window_groups_batches(instances, runtime):
+    """Length-grouped shuffling: every instance still appears once per epoch,
+    and within-batch length spread shrinks vs plain shuffling."""
+    inst, _ = instances
+    n_batches = max(2, len(inst) // 4)
+
+    def spread(window):
+        b = NavEpisodeBatcher(inst, runtime, batch_size=4,
+                              length_sort_window=window, seed=3)
+        seen, spreads = [], []
+        for batch in b.train_batches(n_batches):
+            seen.extend(batch["inst_idx"])
+            spreads.append(int(batch["lengths"].max() - batch["lengths"].min()))
+        return seen, float(np.mean(spreads))
+
+    seen_sorted, spread_sorted = spread(window=100)  # whole epoch sorted
+    seen_plain, spread_plain = spread(window=1)
+    # Epoch coverage is a permutation either way.
+    assert sorted(seen_sorted[: len(inst)]) == sorted(seen_plain[: len(inst)])
+    assert spread_sorted <= spread_plain

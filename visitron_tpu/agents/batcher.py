@@ -27,12 +27,21 @@ class NavEpisodeBatcher:
         seed: int = 88,
         host_id: int = 0,
         num_hosts: int = 1,
+        length_sort_window: int = 8,
     ):
         self.instances = instances[host_id::num_hosts]
         self.runtime = runtime
         self.batch_size = batch_size
         self.path_type = path_type
         self.rng = np.random.default_rng(seed)
+        # Length-grouped shuffling: within each shuffled window of
+        # ``length_sort_window`` batches, instances are ordered by dialog
+        # length so batches are length-homogeneous.  Combined with the
+        # agents' 128-multiple length bucketing (trim_batch), this recovers
+        # the work-skipping the reference gets from pack_padded_sequence
+        # (agent.py:151-184) — a random batch is otherwise padded to its
+        # single longest dialog.  0/1 disables (plain shuffled batches).
+        self.length_sort_window = length_sort_window
 
     def _make_batch(self, items: list[NavInstance]) -> dict:
         rt = self.runtime
@@ -85,15 +94,26 @@ class NavEpisodeBatcher:
                 batch["goal_rows"], episode_len))
         return batch
 
+    def _shuffled_epoch(self) -> list[int]:
+        epoch = np.arange(len(self.instances))
+        self.rng.shuffle(epoch)
+        w = self.length_sort_window * self.batch_size
+        if self.length_sort_window <= 1 or len(epoch) <= self.batch_size:
+            return epoch.tolist()
+        lengths = np.array([self.instances[i].length for i in epoch])
+        out: list[int] = []
+        for s in range(0, len(epoch), w):
+            chunk, cl = epoch[s:s + w], lengths[s:s + w]
+            out.extend(chunk[np.argsort(cl, kind="stable")].tolist())
+        return out
+
     def train_batches(self, num_batches: int, episode_len: int | None = None):
         """Infinite-style epoch-shuffled iterator; every batch full-size."""
         order: list[int] = []
         produced = 0
         while produced < num_batches:
             while len(order) < self.batch_size:
-                epoch = np.arange(len(self.instances))
-                self.rng.shuffle(epoch)
-                order.extend(epoch.tolist())
+                order.extend(self._shuffled_epoch())
             take, order = order[: self.batch_size], order[self.batch_size:]
             batch = self._make_batch([self.instances[i] for i in take])
             if episode_len is not None:

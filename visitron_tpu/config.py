@@ -106,6 +106,18 @@ class RunConfig:
     # volumes (VALIDATION.md); set threefry2x32 for cross-impl key
     # reproducibility.
     rng_impl: str = "rbg"
+    # Length-grouped shuffle batching: window (in batches) within which
+    # instances are ordered by dialog length so padded length per batch stays
+    # near its own maximum (pack_padded work-skipping equivalent); 0/1 = off.
+    length_sort_window: int = 8
+
+    # Speaker (back-translation augmentation; exceeds the reference, whose
+    # SpeakerEncoder/Decoder ship unwired — agent_models.py:512-629).
+    aug_data: str = ""                # speaker-generated R2R-format JSON to
+                                      # append to viewpoint training data
+    speaker_checkpoint: str = ""      # speaker output_dir for `augment`
+    num_aug: int = 1000               # walks to caption in `augment`
+    max_words: int = 64               # speaker decode length
 
     def __post_init__(self):
         valid = ("planner_path", "player_path", "trusted_path")

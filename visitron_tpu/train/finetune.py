@@ -70,13 +70,23 @@ class ViewpointTrainer:
             root = d
         else:
             root = self.cfg.data_root
-        return build_nav_instances(
+        instances = build_nav_instances(
             root, splits, self.ws.tokenizer,
             path_type=self.cfg.path_type,
             add_ndh=self.cfg.add_ndh_data, add_r2r=self.cfg.add_r2r_data,
             add_r4r=self.cfg.add_r4r_data, add_rxr=self.cfg.add_rxr_data,
             oscar_setting=self.cfg.oscar_setting, tar_back=self.cfg.tar_back,
             max_seq_length=self.cfg.max_seq_length)
+        if self.cfg.aug_data and "train" in splits:
+            from visitron_tpu.agents.speaker import build_aug_instances
+
+            aug = build_aug_instances(
+                self.cfg.aug_data, self.ws.tokenizer,
+                max_seq_length=self.cfg.max_seq_length,
+                oscar_setting=self.cfg.oscar_setting)
+            self.logger.info("aug_data: +%d speaker-generated instances", len(aug))
+            instances = instances + aug
+        return instances
 
     def _batcher(self, instances, batch_size, per_host: bool = False):
         """``per_host``: shard instances + batch size across processes so each
@@ -87,7 +97,8 @@ class ViewpointTrainer:
         return NavEpisodeBatcher(
             instances, self.ws.runtime, batch_size=batch_size // num_hosts,
             path_type=self.cfg.path_type, seed=self.cfg.seed,
-            host_id=host_id, num_hosts=num_hosts)
+            host_id=host_id, num_hosts=num_hosts,
+            length_sort_window=self.cfg.length_sort_window)
 
     def train(self, state=None, resume: bool = False, profile_steps: int = 0) -> dict:
         """Train loop.  ``resume`` restores the latest checkpoint (params +

@@ -73,7 +73,8 @@ class TurnBasedTrainer:
         return NavEpisodeBatcher(
             instances, self.ws.runtime, batch_size=batch_size // num_hosts,
             path_type=self.cfg.path_type, seed=self.cfg.seed,
-            host_id=host_id, num_hosts=num_hosts)
+            host_id=host_id, num_hosts=num_hosts,
+            length_sort_window=self.cfg.length_sort_window)
 
     def train(self, state=None, resume: bool = False) -> dict:
         cfg = self.cfg
