@@ -1,0 +1,141 @@
+"""Speaker: trajectory->instruction training, generation, augmentation loop.
+
+Exceeds the reference (SpeakerEncoder/Decoder ship unwired,
+tasks/viewpoint_select/agent_models.py:512-629): these tests cover speaker
+training on teacher trajectories, greedy decoding, R2R-format augmentation
+records, and the --aug_data path back into viewpoint fine-tuning.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from visitron_tpu.agents import NavRuntime, SpeakerAgent
+from visitron_tpu.agents.batcher import NavEpisodeBatcher
+from visitron_tpu.agents.speaker import build_aug_instances, write_aug_records
+from visitron_tpu.data import SceneFeatureTable, WordPieceTokenizer, build_wordpiece_vocab
+from visitron_tpu.data.datasets import build_nav_instances
+
+SEQ = 64
+EP_LEN = 6
+
+
+@pytest.fixture(scope="module")
+def runtime(world):
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    return NavRuntime.build(world.graphs, table)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
+    return WordPieceTokenizer(build_wordpiece_vocab(
+        [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=512))
+
+
+@pytest.fixture(scope="module")
+def instances(tmp_path_factory, world, tok):
+    root = world.write_task_data(str(tmp_path_factory.mktemp("spk")))
+    return build_nav_instances(root, ["train"], tok, max_seq_length=SEQ)
+
+
+@pytest.fixture(scope="module")
+def speaker(world, runtime, tok):
+    return SpeakerAgent(
+        runtime=runtime, feature_dim=world.scene_feat_dim, vocab_size=len(tok),
+        bos_id=tok.vocab[tok.cls_token], eos_id=tok.vocab[tok.sep_token],
+        pad_id=tok.pad_token_id, episode_len=EP_LEN, max_words=16,
+        hidden_size=32, wemb=16, learning_rate=3e-3)
+
+
+@pytest.fixture(scope="module")
+def trained(speaker, instances, runtime, tok):
+    batcher = NavEpisodeBatcher(instances, runtime, batch_size=8,
+                                path_type="trusted_path")
+    text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i) for i in instances}
+    state = speaker.init_state()
+    step = speaker.train_step_fn()
+    losses = []
+    for batch in batcher.train_batches(12, episode_len=EP_LEN):
+        state, loss = step(state, speaker.attach_words(batch, tok, text_by_idx))
+        losses.append(float(loss))
+    return state, losses
+
+
+def test_speaker_training_decreases_loss(trained):
+    _, losses = trained
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_instance_text_prefers_dialog(instances):
+    texts = [SpeakerAgent.instance_text(i) for i in instances]
+    assert all(isinstance(t, str) and t for t in texts)
+
+
+def test_generate_and_augment_records(world, speaker, trained, runtime, tok,
+                                      tmp_path):
+    state, _ = trained
+    rng = np.random.default_rng(0)
+    records = speaker.augment(state["params"], tok, rng, n=6, batch_size=6)
+    assert len(records) == 6
+    for rec in records:
+        assert rec["scan"] in runtime.graphs
+        g = runtime.graphs[rec["scan"]]
+        path = rec["path"]
+        assert len(path) >= 2
+        # Path edges must exist in the nav graph.
+        for a, b in zip(path[:-1], path[1:]):
+            assert g.adjacency[g.index[a], g.index[b]], (a, b)
+        assert rec["instructions"][0]  # non-empty generated text
+
+    out = tmp_path / "aug.json"
+    write_aug_records(records, str(out))
+    aug = build_aug_instances(str(out), tok, max_seq_length=SEQ)
+    assert len(aug) == 6
+    assert all(a.trusted_path == list(r["path"]) for a, r in zip(aug, records))
+    assert all(a.length > 0 for a in aug)
+
+
+def test_speaker_and_augment_cli(tmp_path):
+    """run.py speaker -> augment -> viewpoint --aug_data, end to end (debug
+    workspace)."""
+    from visitron_tpu import run as runner
+    from visitron_tpu.config import RunConfig
+
+    spk_dir = str(tmp_path / "spk")
+    cfg = RunConfig(debug=True, output_dir=spk_dir, num_iterations=2,
+                    saving_steps=2, logging_steps=1,
+                    per_gpu_train_batch_size=4, max_seq_length=SEQ,
+                    rnn_dim=32, encoder_hidden_size=16,
+                    max_words=12, path_type="planner_path")
+    runner.run_speaker(cfg)
+    assert os.path.isdir(os.path.join(spk_dir, "checkpoint-2"))
+
+    aug_dir = str(tmp_path / "aug")
+    cfg2 = RunConfig(debug=True, output_dir=aug_dir, speaker_checkpoint=spk_dir,
+                     num_aug=4, max_seq_length=SEQ, rnn_dim=32,
+                     encoder_hidden_size=16, max_words=12)
+    out = runner.run_augment(cfg2)
+    records = json.load(open(out))
+    assert len(records) == 4
+
+    # Fine-tune consumes the augmentation records.
+    from visitron_tpu.train.finetune import ViewpointTrainer
+    from visitron_tpu.train.workspace import Workspace
+
+    cfg3 = RunConfig(debug=True, output_dir=str(tmp_path / "nav"),
+                     aug_data=out, max_seq_length=SEQ,
+                     rnn_dim=24, encoder_hidden_size=16,
+                     per_gpu_train_batch_size=4, path_type="planner_path")
+    trainer = ViewpointTrainer(cfg3, Workspace.synthetic_workspace(cfg3))
+    base = RunConfig(debug=True, output_dir=str(tmp_path / "nav2"),
+                     max_seq_length=SEQ, rnn_dim=24,
+                     encoder_hidden_size=16, per_gpu_train_batch_size=4,
+                     path_type="planner_path")
+    trainer_base = ViewpointTrainer(base, Workspace.synthetic_workspace(base))
+    n_aug = len(trainer._instances(["train"]))
+    n_base = len(trainer_base._instances(["train"]))
+    assert n_aug == n_base + 4

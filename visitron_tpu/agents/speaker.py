@@ -1,0 +1,348 @@
+"""Speaker agent: trajectory -> instruction generation + data augmentation.
+
+The reference ships SpeakerEncoder/SpeakerDecoder unwired
+(tasks/viewpoint_select/agent_models.py:512-629) — remnants of the
+speaker-follower / EnvDrop line of work.  Here they are wired into a full
+TPU-native capability the reference never had:
+
+  * train a speaker on the task data's (teacher trajectory -> dialog text)
+    pairs — trajectory features come from the same packed NavRuntime tables
+    the nav agents use, so the whole train step (feature gathers, encoder,
+    word-level CE, backward, Adam) is ONE jitted program;
+  * greedily decode instructions for arbitrary shortest-path walks sampled
+    from the nav graphs, emitting R2R-format JSON records
+    (scan/path/heading/instructions) that ``build_aug_instances`` /
+    ``--aug_data`` feed back into viewpoint fine-tuning (EnvDrop-style
+    back-translation augmentation).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from visitron_tpu import geometry as geo
+from visitron_tpu.agents.runtime import NavRuntime
+from visitron_tpu.models.speaker import SpeakerDecoder, SpeakerEncoder
+
+
+@dataclass
+class SpeakerAgent:
+    runtime: NavRuntime
+    feature_dim: int                 # scene feature dim D (without angle feat)
+    vocab_size: int
+    bos_id: int                      # [CLS] starts decoding
+    eos_id: int                      # [SEP] ends decoding
+    pad_id: int = 0
+    episode_len: int = 10
+    max_words: int = 64
+    angle_feat_size: int = 4
+    hidden_size: int = 512
+    wemb: int = 256
+    dropout: float = 0.5
+    learning_rate: float = 1e-4
+    seed: int = 88
+
+    def __post_init__(self):
+        f = self.feature_dim + self.angle_feat_size
+        self.encoder = SpeakerEncoder(feature_size=f, hidden_size=self.hidden_size,
+                                      dropout_ratio=self.dropout)
+        self.decoder = SpeakerDecoder(vocab_size=self.vocab_size,
+                                      embedding_size=self.wemb,
+                                      hidden_size=self.hidden_size,
+                                      dropout_ratio=self.dropout)
+        self.optimizer = optax.adam(self.learning_rate)
+        self._train_step = None
+        self._generate = None
+
+    # -- trajectory features (device-side, from NavRuntime tables) ----------
+    def _traj_feats(self, cur_row, view, teacher, active):
+        """(B, T) int arrays -> (action_embeds (B, T, F), pano (B, T, 36, F)).
+
+        Per step, the action embedding is the taken candidate's scene feature
+        + its relative angle feature (zero at/after stop), and the panorama is
+        the 36-view feature grid at the current state — the EnvDrop speaker's
+        input contract, built by pure gathers.
+        """
+        rt = self.runtime
+        b, t = cur_row.shape
+        rows = cur_row.reshape(-1)
+        views = view.reshape(-1)
+        pano = rt.feats[rows]                                # (BT, 36, D)
+        f_t = jnp.concatenate([pano, rt.pano_af[views]], -1)  # (BT, 36, D+4)
+        counts = rt.count[rows]
+        slot = jnp.clip(teacher.reshape(-1), 0, rt.max_candidates - 1)
+        pts = jnp.take_along_axis(rt.point[rows], slot[:, None], 1)[:, 0]
+        a_vis = jnp.take_along_axis(pano, pts[:, None, None], 1)[:, 0]  # (BT, D)
+        base_heading = (views % geo.HEADINGS_PER_ROW).astype(a_vis.dtype) * geo.ANGLE_INC
+        ch = jnp.take_along_axis(rt.heading[rows], slot[:, None], 1)[:, 0] - base_heading
+        ce = jnp.take_along_axis(rt.elev[rows], slot[:, None], 1)[:, 0]
+        a_af = jnp.stack([jnp.sin(ch), jnp.cos(ch), jnp.sin(ce), jnp.cos(ce)], -1)
+        a_t = jnp.concatenate([a_vis, a_af.astype(a_vis.dtype)], -1)  # (BT, D+4)
+        # Stop step (teacher == count) and ended steps embed as zeros.
+        stopped = (teacher.reshape(-1) >= counts) | (active.reshape(-1) == 0)
+        a_t = jnp.where(stopped[:, None], 0.0, a_t)
+        f = self.feature_dim + self.angle_feat_size
+        return (a_t.reshape(b, t, f).astype(jnp.float32),
+                f_t.reshape(b, t, geo.NUM_VIEWS, f).astype(jnp.float32))
+
+    # -- parameter init -----------------------------------------------------
+    def init_state(self) -> dict:
+        f = self.feature_dim + self.angle_feat_size
+
+        @jax.jit
+        def init(rng):
+            r1, r2 = jax.random.split(rng)
+            enc = self.encoder.init(
+                r1, jnp.zeros((1, self.episode_len, f)),
+                jnp.zeros((1, self.episode_len, geo.NUM_VIEWS, f)),
+                jnp.array([self.episode_len]))
+            dec = self.decoder.init(
+                r2, jnp.zeros((1, 2), jnp.int32),
+                jnp.zeros((1, self.episode_len, self.hidden_size)),
+                jnp.zeros((1, self.episode_len), bool),
+                jnp.zeros((1, self.hidden_size)), jnp.zeros((1, self.hidden_size)))
+            return {"encoder": enc, "decoder": dec}
+
+        params = init(jax.random.PRNGKey(self.seed))
+        return {"params": params,
+                "opt_state": jax.jit(self.optimizer.init)(params),
+                "rng": jax.random.PRNGKey(self.seed + 1)}
+
+    # -- loss ---------------------------------------------------------------
+    def _loss(self, params, batch, rng, deterministic):
+        """Teacher-forced word CE over (trajectory -> words) pairs.
+
+        batch: cur_row/view/teacher/active (B, T) + words (B, L) padded with
+        pad_id; words[:, 0] is BOS, the loss predicts words[:, 1:].
+        """
+        a_t, f_t = self._traj_feats(batch["cur_row"], batch["view"],
+                                    batch["teacher"], batch["active"])
+        lengths = batch["active"].sum(axis=1).astype(jnp.int32)
+        r1, r2 = jax.random.split(rng)
+        ctx = self.encoder.apply(params["encoder"], a_t, f_t, lengths,
+                                 deterministic=deterministic,
+                                 rngs=None if deterministic else {"dropout": r1})
+        t = batch["active"].shape[1]
+        ctx_mask = jnp.arange(t)[None, :] >= lengths[:, None]
+        words = batch["words"]
+        b = words.shape[0]
+        h0 = jnp.zeros((b, self.hidden_size))
+        logits, _, _ = self.decoder.apply(
+            params["decoder"], words[:, :-1], ctx, ctx_mask, h0, h0,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": r2})
+        targets = words[:, 1:]
+        valid = (targets != self.pad_id).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), targets)
+        return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def train_step_fn(self):
+        if self._train_step is not None:
+            return self._train_step
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            rng, step_rng = jax.random.split(state["rng"])
+            loss, grads = jax.value_and_grad(
+                lambda p: self._loss(p, batch, step_rng, False))(state["params"])
+            updates, opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state, "rng": rng}, loss
+
+        self._train_step = step
+        return step
+
+    # -- generation ---------------------------------------------------------
+    def generate_fn(self):
+        """Greedy decode: (params, traj batch, rng) -> (B, max_words) ids."""
+        if self._generate is not None:
+            return self._generate
+
+        @jax.jit
+        def generate(params, batch):
+            a_t, f_t = self._traj_feats(batch["cur_row"], batch["view"],
+                                        batch["teacher"], batch["active"])
+            lengths = batch["active"].sum(axis=1).astype(jnp.int32)
+            ctx = self.encoder.apply(params["encoder"], a_t, f_t, lengths,
+                                     deterministic=True)
+            t = batch["active"].shape[1]
+            ctx_mask = jnp.arange(t)[None, :] >= lengths[:, None]
+            b = ctx.shape[0]
+            h0 = jnp.zeros((b, self.hidden_size))
+
+            def step(carry, _):
+                word, h, c, ended = carry
+                logits, h1, c1 = self.decoder.apply(
+                    params["decoder"], word[:, None], ctx, ctx_mask, h, c,
+                    deterministic=True)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = jnp.where(ended, self.pad_id, nxt)
+                new_ended = ended | (nxt == self.eos_id)
+                return (nxt, h1, c1, new_ended), nxt
+
+            bos = jnp.full((b,), self.bos_id, jnp.int32)
+            (_, _, _, _), words = jax.lax.scan(
+                step, (bos, h0, h0, jnp.zeros(b, bool)), None,
+                length=self.max_words)
+            return words.T  # (B, max_words)
+
+        self._generate = generate
+        return generate
+
+    # -- host-side helpers --------------------------------------------------
+    @staticmethod
+    def instance_text(inst) -> str:
+        """Supervision text for a NavInstance: the dialog turns joined (NDH)
+        or the instruction (R2R/R4R/RxR)."""
+        raw = inst.raw or {}
+        if isinstance(raw.get("dialog_history"), list):
+            text = " ".join(t.get("message", "") for t in raw["dialog_history"]
+                            if t.get("message"))
+            return text or str(raw.get("target", ""))
+        if raw.get("instructions"):
+            return raw["instructions"][0]
+        return str(raw.get("instruction", ""))
+
+    def attach_words(self, batch: dict, tokenizer, text_by_idx: dict) -> dict:
+        """Add the (B, max_words+1) word-id array to a teacher batch from a
+        NavEpisodeBatcher (keyed by its inst_idx list)."""
+        texts = [text_by_idx[i] for i in batch["inst_idx"]]
+        out = {k: np.asarray(batch[k])
+               for k in ("cur_row", "view", "teacher", "active")}
+        out["words"] = self.words_batch(tokenizer, texts)
+        return out
+
+    def words_batch(self, tokenizer, texts: list[str]) -> np.ndarray:
+        """Tokenize instruction texts to (B, max_words+1) id arrays
+        ([BOS] w... [EOS] [PAD]...)."""
+        out = np.full((len(texts), self.max_words + 1), self.pad_id, np.int32)
+        for i, text in enumerate(texts):
+            ids = tokenizer.encode(text)[: self.max_words - 1]
+            row = [self.bos_id] + ids + [self.eos_id]
+            out[i, : len(row)] = row
+        return out
+
+    def decode_words(self, tokenizer, ids) -> list[str]:
+        """Ids -> text (strips specials, merges wordpieces)."""
+        texts = []
+        stop = {self.bos_id, self.eos_id, self.pad_id}
+        for row in np.asarray(ids):
+            toks = tokenizer.convert_ids_to_tokens(
+                [int(i) for i in row if int(i) not in stop])
+            words: list[str] = []
+            for tk in toks:
+                if tk.startswith("##") and words:
+                    words[-1] += tk[2:]
+                else:
+                    words.append(tk)
+            texts.append(" ".join(words))
+        return texts
+
+    def sample_walks(self, rng: np.random.Generator, n: int,
+                     min_hops: int = 2, max_hops: int = 6) -> dict:
+        """Random shortest-path walks over the nav graphs -> teacher batch
+        (+ scans / path viewpoint ids / heading for the JSON records)."""
+        rt = self.runtime
+        scans = sorted(rt.graphs)
+        recs = {"scans": [], "start_rows": [], "start_views": [],
+                "goal_rows": [], "headings": []}
+        while len(recs["scans"]) < n:
+            scan = scans[rng.integers(len(scans))]
+            g = rt.graphs[scan]
+            off = rt.feat_table.scan_offsets[scan]
+            u, v = rng.integers(g.num_viewpoints, size=2)
+            if u == v or not np.isfinite(g.dist[u, v]):
+                continue
+            hops = len(g.shortest_path(int(u), int(v))) - 1
+            if not (min_hops <= hops <= max_hops):
+                continue
+            heading = float(rng.uniform(0, 2 * np.pi))
+            row = off + int(u)
+            recs["scans"].append(scan)
+            recs["start_rows"].append(row)
+            recs["start_views"].append(
+                geo.view_of(geo.snap_heading(heading), geo.snap_elevation(0.0)))
+            recs["goal_rows"].append(off + int(v))
+            recs["headings"].append(heading)
+        return recs
+
+    def augment(self, params, tokenizer, rng: np.random.Generator, n: int,
+                batch_size: int = 32, min_hops: int = 2, max_hops: int = 6,
+                prefix: str = "AUG") -> list[dict]:
+        """Generate R2R-format augmentation records from sampled walks."""
+        gen = self.generate_fn()
+        rt = self.runtime
+        records = []
+        while len(records) < n:
+            take = min(batch_size, n - len(records))
+            walks = self.sample_walks(rng, take, min_hops, max_hops)
+            arrays = rt.teacher_rollout_arrays(
+                walks["scans"], np.asarray(walks["start_rows"], np.int32),
+                np.asarray(walks["start_views"], np.int32),
+                np.asarray(walks["goal_rows"], np.int32), self.episode_len)
+            ids = np.asarray(gen(params, {k: jnp.asarray(v) for k, v in
+                                          arrays.items()}))
+            texts = self.decode_words(tokenizer, ids)
+            for i, text in enumerate(texts):
+                if not text:
+                    continue
+                # Recover the visited path from the teacher arrays.
+                rows = [int(arrays["cur_row"][i, 0])]
+                for t in range(1, self.episode_len):
+                    if not arrays["active"][i, t]:
+                        break
+                    r = int(arrays["cur_row"][i, t])
+                    if r != rows[-1]:
+                        rows.append(r)
+                path = [rt.row_to_id(r)[1] for r in rows]
+                records.append({
+                    "scan": walks["scans"][i],
+                    "path": path,
+                    "heading": walks["headings"][i],
+                    "path_id": f"{prefix}_{len(records)}",
+                    "instructions": [text],
+                })
+        return records
+
+
+def write_aug_records(records: list[dict], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(records, f)
+
+
+def build_aug_instances(path: str, tokenizer, max_seq_length: int = 512,
+                        oscar_setting: bool = False) -> list:
+    """Load speaker-generated R2R-format records as NavInstances (appended to
+    the fine-tuning instance list via --aug_data)."""
+    from visitron_tpu.data.datasets import NavInstance
+    from visitron_tpu.data.dialog import build_dialog_sequence
+
+    with open(path) as f:
+        records = json.load(f)
+    out = []
+    for item in records:
+        for j, instr in enumerate(item["instructions"]):
+            seq = build_dialog_sequence(
+                tokenizer, [tokenizer.tokenize(instr)], target_tokens=None,
+                oscar_setting=oscar_setting, max_seq_length=max_seq_length)
+            p = list(item["path"])
+            out.append(NavInstance(
+                inst_idx=f"{item['path_id']}_{j}",
+                scan=item["scan"],
+                token_ids=seq.token_ids,
+                segment_ids=seq.segment_ids,
+                length=seq.length,
+                start_pano={"heading": item["heading"], "elevation": 0,
+                            "pano": p[0]},
+                planner_path=p, player_path=p, trusted_path=p,
+                end_panos=[p[-1]], raw=item))
+    return out

@@ -8,6 +8,8 @@ Replaces the reference's four train mains + 37 run shell scripts
   classifier       question-asking classifier training + val
   pretrain         multimodal (MLM + action + region-token) pretraining
   datagen          pretraining-example generation (path walks)
+  speaker          train a trajectory->instruction speaker (augmentation)
+  augment          caption sampled walks -> R2R-format aug JSON (--aug_data)
   extract_scene    skybox JPEGs -> 36-view ResNet scene features (TSV)
   extract_regions  skybox JPEGs -> bottom-up region features (pickle store)
 
@@ -18,6 +20,7 @@ torch.distributed.launch (reference run_scripts/*:1-24).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -207,6 +210,81 @@ def run_pretrain(cfg: RunConfig):
     return state
 
 
+def _speaker_for(cfg: RunConfig, ws):
+    from visitron_tpu.agents.speaker import SpeakerAgent
+
+    tok = ws.tokenizer
+    return SpeakerAgent(
+        runtime=ws.runtime, feature_dim=cfg.lstm_img_feature_dim,
+        vocab_size=len(tok),
+        bos_id=tok.vocab[tok.cls_token], eos_id=tok.vocab[tok.sep_token],
+        pad_id=tok.pad_token_id, episode_len=cfg.episode_len,
+        max_words=cfg.max_words, hidden_size=cfg.rnn_dim,
+        dropout=cfg.dropout, learning_rate=cfg.learning_rate, seed=cfg.seed)
+
+
+def run_speaker(cfg: RunConfig):
+    """Train a speaker (trajectory -> instruction) on the nav training data.
+
+    Exceeds the reference: its SpeakerEncoder/Decoder ship unwired
+    (agent_models.py:512-629).  Checkpoints land in --output_dir for `augment`.
+    """
+    from visitron_tpu.agents.batcher import NavEpisodeBatcher
+    from visitron_tpu.agents.speaker import SpeakerAgent
+    from visitron_tpu.train.checkpoint import CheckpointManager
+    from visitron_tpu.train.finetune import ViewpointTrainer
+    from visitron_tpu.train.logging import setup_logger
+
+    ws = _workspace_for_nav(cfg)
+    logger = setup_logger(output_dir=cfg.output_dir)
+    instances = ViewpointTrainer(cfg, ws)._instances(["train"])
+    sp = _speaker_for(cfg, ws)
+    batcher = NavEpisodeBatcher(
+        instances, ws.runtime, batch_size=cfg.train_batch_size(1),
+        path_type=cfg.path_type, seed=cfg.seed,
+        length_sort_window=cfg.length_sort_window)
+    text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i) for i in instances}
+    state = sp.init_state()
+    step = sp.train_step_fn()
+    ckpt = CheckpointManager(cfg.output_dir)
+    for it, batch in enumerate(
+            batcher.train_batches(cfg.num_iterations,
+                                  episode_len=cfg.episode_len), 1):
+        state, loss = step(state, sp.attach_words(batch, ws.tokenizer, text_by_idx))
+        if it % cfg.logging_steps == 0:
+            logger.info("speaker iter %d loss %.4f", it, float(loss))
+        if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
+            ckpt.save(it, state["params"], state["opt_state"])
+    return state
+
+
+def run_augment(cfg: RunConfig):
+    """Caption sampled shortest-path walks with a trained speaker and write
+    R2R-format augmentation JSON (consumed by viewpoint --aug_data)."""
+    import numpy as np
+
+    from visitron_tpu.agents.speaker import write_aug_records
+    from visitron_tpu.train.checkpoint import CheckpointManager
+
+    ws = _workspace_for_nav(cfg)
+    sp = _speaker_for(cfg, ws)
+    state = sp.init_state()
+    ckpt = CheckpointManager(cfg.speaker_checkpoint or cfg.output_dir)
+    step = ckpt.latest()
+    if step is None:
+        raise SystemExit(
+            f"no speaker checkpoint under {ckpt.output_dir!r}; run "
+            "`run.py speaker` first or pass --speaker_checkpoint")
+    params = ckpt.restore(step, {"params": state["params"]})["params"]
+    records = sp.augment(params, ws.tokenizer,
+                         np.random.default_rng(cfg.seed), cfg.num_aug)
+    out = os.path.join(cfg.output_dir, "aug_data.json")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    write_aug_records(records, out)
+    print(f"wrote {len(records)} augmentation records to {out}")
+    return out
+
+
 def _extract_graphs(cfg: RunConfig) -> dict:
     """Nav graphs for the offline pipelines (which predate feature stores, so
     no Workspace): every scan with a connectivity file."""
@@ -343,6 +421,10 @@ def main(argv=None):
         run_pretrain(cfg)
     elif task == "datagen":
         run_datagen(cfg)
+    elif task == "speaker":
+        run_speaker(cfg)
+    elif task == "augment":
+        run_augment(cfg)
     elif task == "extract_scene":
         run_extract_scene(cfg)
     elif task == "extract_regions":
