@@ -23,8 +23,7 @@ def test_flash_matches_jnp_attention():
     key_bias = (1.0 - keep) * NEG_INF
     ref = multi_head_attention(q, k, v, bias=jnp.asarray(key_bias)[:, None, None, :])
     got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                          jnp.asarray(key_bias), block_q=128, block_k=128,
-                          interpret=True)
+                          jnp.asarray(key_bias), None, 0.0, 128, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 
@@ -68,7 +67,7 @@ def test_flash_attention_grad_matches_jnp():
     key_bias = jnp.zeros((b, s), jnp.float32)
 
     def loss_flash(q, k, v):
-        return flash_attention(q, k, v, key_bias, 128, 128, True).sum()
+        return flash_attention(q, k, v, key_bias, None, 0.0, 128, 128, True).sum()
 
     def loss_ref(q, k, v):
         return multi_head_attention(q, k, v,
@@ -79,3 +78,93 @@ def test_flash_attention_grad_matches_jnp():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _flash_do(q, k, v, key_bias, seed, rate):
+    return flash_attention(q, k, v, key_bias, seed, rate, 128, 128, True)
+
+
+def test_flash_dropout_unbiased_and_deterministic():
+    """Fused-dropout flash: E[out] ~= deterministic out (1/(1-r) scaling);
+    same seed -> same mask; different seed -> different mask."""
+    rng = np.random.default_rng(2)
+    b, h, s, d = 1, 4, 128, 64
+    q = jnp.zeros((b, h, s, d), jnp.float32)  # uniform attention
+    k = jnp.zeros((b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    bias = jnp.zeros((b, s), jnp.float32)
+    det = _flash_do(q, k, v, bias, None, 0.0)
+    outs = [np.asarray(_flash_do(q, k, v, bias, jnp.int32(i), 0.5))
+            for i in range(16)]
+    assert not np.allclose(outs[0], np.asarray(det))
+    np.testing.assert_array_equal(
+        outs[3], np.asarray(_flash_do(q, k, v, bias, jnp.int32(3), 0.5)))
+    assert not np.array_equal(outs[0], outs[1])
+    # Unbiasedness: mean over seeds approaches the deterministic output.
+    mean = np.mean(outs, axis=0)
+    err = np.abs(mean - np.asarray(det)).mean()
+    scale = np.abs(np.asarray(det)).mean() + 1e-6
+    assert err / scale < 0.35, err / scale
+
+
+def test_flash_dropout_grads_consistent():
+    """Finite-difference check of the Pallas backward kernels WITH dropout:
+    the mask is a pure function of (seed, positions), so numerical
+    differentiation is valid and must match the custom_vjp."""
+    from jax.test_util import check_grads
+
+    rng = np.random.default_rng(3)
+    b, h, s, d = 1, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.3, jnp.float32)
+    keep = np.ones((b, s), np.float32)
+    keep[0, 100:] = 0.0
+    bias = jnp.asarray((1.0 - keep) * NEG_INF)
+    seed = jnp.int32(7)
+
+    def f(q, k, v):
+        return _flash_do(q, k, v, bias, seed, 0.3).sum()
+
+    check_grads(f, (q, k, v), order=1, modes=["rev"], rtol=0.01)
+
+
+def test_flash_dropout_bwd_matches_masked_reference():
+    """Extract the kernel's dropout mask (via indicator values), then compare
+    flash gradients against a jnp reference applying the SAME mask."""
+    rng = np.random.default_rng(4)
+    b, h, s, d = 1, 2, 128, 64
+    rate, seed = 0.4, jnp.int32(11)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    bias = jnp.zeros((b, s), jnp.float32)
+
+    # Reconstruct the mask exactly as the kernels compute it (bh-mixed seed,
+    # absolute positions) and use it in a jnp reference implementation.
+    from visitron_tpu.ops.attention import _keep_mask, _threshold
+    masks = []
+    for bh in range(b * h):
+        seed_mix = (jnp.uint32(11) ^ (jnp.uint32(bh) * jnp.uint32(0xC2B2AE3D)))
+        masks.append(np.asarray(_keep_mask(seed_mix, 0, 0, (s, s),
+                                           _threshold(rate))))
+    mask = jnp.asarray(np.stack(masks).reshape(b, h, s, s))
+
+    def ref_loss(q, k, v):
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(d), -1)
+        p = jnp.where(mask, p, 0.0) / (1.0 - rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v).sum()
+
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+
+    def flash_loss(q, k, v):
+        return _flash_do(q, k, v, bias, seed, rate).sum()
+
+    np.testing.assert_allclose(np.asarray(flash_loss(q, k, v)),
+                               np.asarray(ref_loss(q, k, v)), rtol=2e-4)
+    gf = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4)

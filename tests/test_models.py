@@ -249,3 +249,27 @@ def test_dropout_rng_changes_output(rng):
     s3, _ = model.apply(params, ids, deterministic=True)
     assert not np.allclose(s1, s2)
     assert np.isfinite(np.asarray(s3)).all()
+
+
+def test_remat_preserves_values_and_grads(rng):
+    """cfg.remat=True (layer-wise jax.checkpoint) must be semantics-free:
+    identical outputs and gradients, same parameter tree."""
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    base = PretrainModel(CFG)
+    rem = PretrainModel(CFG.replace(remat=True))
+    params = base.init(rng, ids, attention_mask=mask)
+    labels = jnp.full((2, 8), -1, jnp.int32).at[:, 2].set(5)
+
+    def loss(model, p):
+        out = model.apply(p, ids, attention_mask=mask)
+        return pretrain_loss(out, labels)["loss"]
+
+    lb, gb = jax.jit(jax.value_and_grad(lambda p: loss(base, p)))(params)
+    lr, gr = jax.jit(jax.value_and_grad(lambda p: loss(rem, p)))(params)
+    np.testing.assert_allclose(float(lb), float(lr), rtol=1e-6)
+    flat_b = jax.tree.leaves(gb)
+    flat_r = jax.tree.leaves(gr)
+    for a, b in zip(flat_b, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

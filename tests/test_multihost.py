@@ -83,6 +83,15 @@ try:
     _dist.global_state.client.wait_at_barrier("compiled", 300_000)
 except Exception as e:  # barrier API moved: fall back to running unsynced
     print("barrier skipped:", e, flush=True)
+# Warm the Gloo context with a minimal collective while both processes are
+# barrier-synced: context creation is the step with the 30 s KV-store
+# timeout; established TCP links serve the real steps afterwards.
+from jax.sharding import NamedSharding, PartitionSpec
+ones = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, PartitionSpec("dp")), np.ones(2, np.float32))
+warm = jax.jit(lambda x: x.sum(),
+               out_shardings=NamedSharding(mesh, PartitionSpec()))(ones)
+assert float(warm) == 4.0, float(warm)
 losses = []
 for pb in placed:
     state, loss = compiled(state, pb)
@@ -92,15 +101,14 @@ print(f"RESULT {jax.process_index()} {losses[0]:.6f} {losses[1]:.6f}", flush=Tru
 """
 
 
-@pytest.mark.slow
-def test_two_process_data_parallel_train(tmp_path):
+def _run_workers(tmp_path, attempt: int):
     import socket
 
     with socket.socket() as s:  # free port
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     script = _WORKER.replace("%PORT%", str(port))
-    path = tmp_path / "worker.py"
+    path = tmp_path / f"worker_{attempt}.py"
     path.write_text(script)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -113,6 +121,17 @@ def test_two_process_data_parallel_train(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=540)
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train(tmp_path):
+    procs, outs = _run_workers(tmp_path, 0)
+    if any(p.returncode != 0 for p in procs) and any(
+            "DEADLINE_EXCEEDED" in o for o in outs):
+        # Gloo's 30 s rendezvous (not configurable) can starve out when this
+        # single-core host is oversubscribed; one retry once warm.
+        procs, outs = _run_workers(tmp_path, 1)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     results = {}

@@ -101,6 +101,9 @@ class RunConfig:
     mesh_tp: int = 1
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
+    remat: bool = False                # rematerialize BERT layers in bwd
+                                       # (activation memory ~ O(layers) less;
+                                       # enables batch scaling beyond HBM)
     # PRNG implementation for dropout/sampling: XLA's counter-based RBG is
     # ~24% faster end-to-end on TPU than threefry at BERT-base dropout
     # volumes (VALIDATION.md); set threefry2x32 for cross-impl key

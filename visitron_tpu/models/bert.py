@@ -20,6 +20,7 @@ import dataclasses
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from visitron_tpu.ops.attention import (attention_supports_flash,
@@ -47,10 +48,14 @@ class BertConfig:
     action_space: int = 36
     detector_classes: int = 1601
     dtype: Any = jnp.float32  # activation dtype (bfloat16 on TPU)
-    # Route attention through the Pallas blockwise kernel when the shape
-    # tiles (TPU, lengths % 128, head_dim 64/128) and no attention-prob
-    # dropout is active; otherwise the XLA-fused jnp path runs.
+    # Route attention through the Pallas blockwise kernel set when the shape
+    # tiles (TPU, lengths % 128, head_dim 64/128); training dropout is fused
+    # into the kernels.  Otherwise the XLA-fused jnp path runs.
     use_flash_attention: bool = False
+    # Rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(layers) less activation
+    # memory — enables batch scaling beyond HBM.
+    remat: bool = False
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
@@ -123,13 +128,21 @@ class BertSelfAttention(nn.Module):
         k_len = kv_in.shape[1]
         use_flash = (
             cfg.use_flash_attention
-            and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
             and bias is not None and bias.ndim == 4
             and bias.shape[1] == 1 and bias.shape[2] == 1
             and attention_supports_flash(q_len, k_len, d)
         )
         if use_flash:
-            ctx = flash_attention(split(q), split(k), split(v), bias[:, 0, 0, :])
+            # Training path included: attention-prob dropout is fused into the
+            # kernels (mask recomputed in bwd from a position hash) — the
+            # (B, H, Q, K) probability tensor never touches HBM.
+            rate = 0.0 if deterministic else float(cfg.attention_probs_dropout_prob)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
+            ctx = flash_attention(split(q), split(k), split(v), bias[:, 0, 0, :],
+                                  seed, rate)
         else:
             ctx = multi_head_attention(
                 split(q), split(k), split(v), bias=bias,
@@ -167,9 +180,18 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, history_states=None, deterministic=True):
+        layer_cls = BertLayer
+        if self.cfg.remat:
+            # Save only each layer's input; recompute the layer in bwd
+            # (dot products excluded from recompute via the standard policy).
+            # static_argnums indexes the full __call__ signature (0 = module
+            # instance): 4 is ``deterministic``.
+            layer_cls = nn.remat(
+                BertLayer, static_argnums=(4,),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         for i in range(self.cfg.num_hidden_layers):
             hs = None if history_states is None else history_states[i]
-            hidden = BertLayer(self.cfg, name=f"layer_{i}")(
+            hidden = layer_cls(self.cfg, name=f"layer_{i}")(
                 hidden, bias, hs, deterministic)
         return hidden
 

@@ -2,19 +2,36 @@
 
 Two interchangeable paths:
   * ``multi_head_attention``: pure jnp einsum formulation — XLA fuses the
-    softmax chain into the matmuls; this is the correctness reference and the
-    CPU-test path.
-  * ``flash_attention``: a Pallas TPU kernel (blockwise online-softmax).
-    Measured on TPU v5e at the joint-encoder shape (B2xH12x768xD64) it is
-    slightly slower than the XLA-fused jnp path (1.27 vs 1.06 ms), so the jnp
-    path stays the default; the kernel is kept (validated in interpret mode
-    and on hardware) for longer-context configurations where blockwise
-    attention wins.
+    softmax chain into the matmuls; the correctness reference and CPU-test
+    path.  Attention-probability dropout (torch semantics: applied after
+    softmax, scaled by 1/(1-rate)) materializes the (B, H, Q, K) probability
+    tensor, which dominates HBM traffic during training.
+  * ``flash_attention``: a Pallas TPU kernel set (blockwise online-softmax
+    forward + dKV/dQ backward kernels) with **fused in-kernel dropout**.
+    The probability tensor is never materialized in either direction; the
+    dropout mask is recomputed in the backward kernels from a counter-based
+    position hash (murmur3 finalizer over absolute (q, k) coordinates), so
+    forward/backward mask agreement is structural — no mask is stored, and
+    the mask is independent of block sizes.  Replaces the reference's
+    unfused torch attention (oscar/modeling_bert.py:34-79).
 
-Replaces the reference's unfused torch attention
-(oscar/modeling_bert.py:34-79).  Attention-probability dropout (which torch
-applies after softmax) is supported only on the jnp path; the TPU trainers use
-it for parity during training and may disable it for speed.
+Measured on TPU v5e (fwd+bwd, bf16, 12 heads, dropout 0.3): the XLA path
+wins at every shape this framework uses — 3.1 vs 4.6 ms at (64, 256),
+3.0 vs 3.9 ms at (16, 512), 5.7 vs 8.6 ms at (16, 768) — because at S<=768
+the batched-matmul attention is not bandwidth-bound and the flash grid
+(B*H x S/128 programs of ~2 MXU tiles each) pays per-program overhead.  The
+jnp path therefore stays the default; the kernel set is the long-context
+path (O(S) memory, no probs tensor) and is hardware-validated: deterministic
+parity max|err| 4e-3 and dropout-gradient parity vs a reconstructed-mask
+reference 1e-2 (bf16-accumulation scale).
+
+Backward derivation (a = softmax(s), ã = a*mask/(1-r), out = ã @ V):
+  dV = ã^T dO
+  D_i = Σ_d dO_id out_id          (the flash "di" vector)
+  ds_ij = a_ij (mask_ij/(1-r) (dO_i · v_j) - D_i)
+  dQ = ds @ K * scale,  dK = ds^T @ Q * scale
+Residuals are (q, k, v, bias, seed) + the per-row logsumexp — O(S), not
+O(S^2), per flash convention.
 """
 
 from __future__ import annotations
@@ -23,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def multi_head_attention(q, k, v, bias=None, dropout_rng=None, dropout_rate: float = 0.0,
@@ -43,54 +61,180 @@ def multi_head_attention(q, k, v, bias=None, dropout_rng=None, dropout_rate: flo
 
 
 # ---------------------------------------------------------------------------
-# Pallas flash attention (TPU).
+# Pallas flash attention (TPU): fwd + bwd kernels, fused dropout.
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, sm_scale: float):
-    """One (batch*head, q-block) program: online softmax over K blocks."""
+def _keep_mask(seed_u32, row0, col0, shape, threshold: int):
+    """Deterministic per-position keep mask: murmur3-finalizer hash of the
+    ABSOLUTE (q, k) coordinates — identical across fwd/bwd regardless of
+    block layout.  Plain jnp integer ops: runs on TPU and in interpret mode."""
+    r = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+         + jnp.asarray(row0).astype(jnp.uint32))
+    c = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+         + jnp.asarray(col0).astype(jnp.uint32))
+    x = r * jnp.uint32(0x9E3779B1) ^ c * jnp.uint32(0x85EBCA77) ^ seed_u32
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x >= jnp.uint32(threshold)
+
+
+def _threshold(rate: float) -> int:
+    return min(int(rate * 4294967296.0), 4294967295)
+
+
+def _mix_seed(seed_ref, bh):
+    s = seed_ref[0].astype(jnp.uint32)
+    return s ^ (jnp.asarray(bh).astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                block_q: int, block_k: int, sm_scale: float, rate: float):
     import jax.experimental.pallas as pl
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (Bq, D)
+    bh = pl.program_id(0)
+    jq = pl.program_id(1)
+    q = q_ref[0]  # (Bq, D) — keep the input dtype (bf16): one-pass MXU matmul
     num_kb = k_ref.shape[1] // block_k
+    seed = _mix_seed(seed_ref, bh)
+    thr = _threshold(rate)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
     def loop_body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (Bq, Bk)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
         b = bias_ref[0, 0, pl.ds(i * block_k, block_k)]
         s = s + b[None, :].astype(jnp.float32)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_cur = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed, jq * block_q, i * block_k, p.shape, thr)
+            p_eff = jnp.where(keep, p, 0.0) * inv_keep
+        else:
+            p_eff = p
+        acc = acc * alpha[:, None] + jnp.dot(p_eff.astype(v.dtype), v,
+                                             preferred_element_type=jnp.float32)
         return acc, m_cur, l_cur
 
-    bq, d = q.shape
+    bq, _ = q.shape
     acc0 = jnp.zeros((bq, v_ref.shape[-1]), jnp.float32)
     m0 = jnp.full((bq,), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, loop_body, (acc0, m0, l0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv[:, None]).astype(o_ref.dtype)
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    # (8, Bq) sublane-replicated layout: TPU block shapes need the trailing
+    # two dims (8, 128)-aligned, so per-row stats can't be stored as (1, Bq).
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_attention(q, k, v, key_bias, block_q: int = 128, block_k: int = 128,
+def _bwd_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref,
+                    bias_ref, dk_ref, dv_ref, *, block_q: int, block_k: int,
+                    sm_scale: float, rate: float):
+    import jax.experimental.pallas as pl
+
+    bh = pl.program_id(0)
+    jk = pl.program_id(1)
+    k = k_ref[0]  # (Bk, D) — native dtype for one-pass MXU matmuls
+    v = v_ref[0]
+    b = bias_ref[0, 0].astype(jnp.float32)  # (Bk,)
+    num_qb = q_ref.shape[1] // block_q
+    seed = _mix_seed(seed_ref, bh)
+    thr = _threshold(rate)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    def loop_body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
+        di = di_ref[0, 0, pl.ds(i * block_q, block_q)]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        s = s + b[None, :]
+        a = jnp.exp(s - lse[:, None])  # normalized probs (Bq, Bk)
+        dpe = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # (Bq, Bk)
+        if rate > 0.0:
+            keep = _keep_mask(seed, i * block_q, jk * block_k, a.shape, thr)
+            a_eff = jnp.where(keep, a, 0.0) * inv_keep
+            da = jnp.where(keep, dpe, 0.0) * inv_keep
+        else:
+            a_eff = a
+            da = dpe
+        dv = dv + jnp.dot(a_eff.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
+        ds = (a * (da - di[:, None]) * sm_scale).astype(q.dtype)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, loop_body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(seed_ref, q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref,
+                   bias_ref, dq_ref, *, block_q: int, block_k: int,
+                   sm_scale: float, rate: float):
+    import jax.experimental.pallas as pl
+
+    bh = pl.program_id(0)
+    jq = pl.program_id(1)
+    q = q_ref[0]  # (Bq, D) — native dtype for one-pass MXU matmuls
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    di = di_ref[0, 0]
+    num_kb = k_ref.shape[1] // block_k
+    seed = _mix_seed(seed_ref, bh)
+    thr = _threshold(rate)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    def loop_body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        b = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        s = s + b[None, :]
+        a = jnp.exp(s - lse[:, None])
+        dpe = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed, jq * block_q, i * block_k, a.shape, thr)
+            da = jnp.where(keep, dpe, 0.0) * inv_keep
+        else:
+            da = dpe
+        ds = (a * (da - di[:, None]) * sm_scale).astype(k.dtype)
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb, loop_body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention(q, k, v, key_bias, dropout_seed=None, dropout_rate: float = 0.0,
+                    block_q: int = 128, block_k: int = 128,
                     interpret: bool = False):
-    """Pallas blockwise attention. ``key_bias``: (B, K) additive (0 / -inf-ish).
+    """Pallas blockwise attention with fused attention-prob dropout.
 
+    q: (B, H, Q, D); k/v: (B, H, K, D); ``key_bias``: (B, K) additive
+    (0 / -inf-ish padding bias); ``dropout_seed``: int32 scalar array (ignored
+    when ``dropout_rate`` == 0; vary per step/layer for fresh masks).
     Shapes must tile: Q % block_q == 0, K % block_k == 0, D in {64, 128}.
-    ``interpret`` runs the kernel in Pallas interpret mode (CPU parity tests).
-
-    Differentiable: the backward pass recomputes attention through the
-    jnp/XLA-fused path (flash-style recomputation — the (B, H, Q, K)
-    probability tensor is never stored between fwd and bwd).
+    ``interpret`` runs the kernels in Pallas interpret mode (CPU tests).
     """
-    return _flash_forward(q, k, v, key_bias, block_q, block_k, interpret)
+    out, _ = _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate,
+                            block_q, block_k, interpret)
+    return out
 
 
-def _flash_forward(q, k, v, key_bias, block_q, block_k, interpret):
+def _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate, block_q,
+                   block_k, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -101,38 +245,125 @@ def _flash_forward(q, k, v, key_bias, block_q, block_k, interpret):
     kr = k.reshape(b * h, ks, d)
     vr = v.reshape(b * h, ks, d)
     biasr = jnp.repeat(key_bias, h, axis=0)[:, None, :]  # (B*H, 1, K)
+    seed = (jnp.zeros((1,), jnp.int32) if dropout_seed is None
+            else jnp.asarray(dropout_seed, jnp.int32).reshape(1))
 
     grid = (b * h, qs // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
+                          sm_scale=sm_scale, rate=dropout_rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ks), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, qs, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 8, qs), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(seed, qr, kr, vr, biasr)
+    return out.reshape(b, h, qs, d), lse
+
+
+def _flash_fwd_rule(q, k, v, key_bias, dropout_seed, dropout_rate, block_q,
+                    block_k, interpret):
+    out, lse = _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate,
+                              block_q, block_k, interpret)
+    return out, (q, k, v, key_bias, dropout_seed, out, lse)
+
+
+def _flash_bwd_rule(dropout_rate, block_q, block_k, interpret, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, key_bias, dropout_seed, out, lse = res
+    if dropout_rate == 0.0:
+        # No mask to reproduce: recompute through the XLA-fused path, which
+        # is faster than the Pallas bwd kernels at this framework's lengths
+        # (S <= 768) — flash-style recomputation either way (no probs stored).
+        def ref(q, k, v):
+            return multi_head_attention(q, k, v,
+                                        bias=key_bias[:, None, None, :])
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(key_bias), None
+    b, h, qs, d = q.shape
+    ks = k.shape[2]
+    sm_scale = 1.0 / (d ** 0.5)
+    qr = q.reshape(b * h, qs, d)
+    kr = k.reshape(b * h, ks, d)
+    vr = v.reshape(b * h, ks, d)
+    dor = g.reshape(b * h, qs, d)
+    biasr = jnp.repeat(key_bias, h, axis=0)[:, None, :]
+    seed = (jnp.zeros((1,), jnp.int32) if dropout_seed is None
+            else jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+    # di = rowsum(out * dout): shared by both backward kernels.  Same (BH, 8,
+    # S) sublane-replicated layout as the lse residual (TPU block alignment).
+    di = jnp.broadcast_to(
+        jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32),
+                axis=-1).reshape(b * h, 1, qs), (b * h, 8, qs))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, block_k=block_k,
+                          sm_scale=sm_scale, rate=dropout_rate),
+        grid=(b * h, ks // block_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qs, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, qs, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, qs), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, qs), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, ks, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, ks, d), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(seed, qr, dor, lse, di, kr, vr, biasr)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_q=block_q, block_k=block_k,
+                          sm_scale=sm_scale, rate=dropout_rate),
+        grid=(b * h, qs // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, ks), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, qs, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qr, kr, vr, biasr)
-    return out.reshape(b, h, qs, d)
+    )(seed, qr, dor, lse, di, kr, vr, biasr)
 
-
-def _flash_fwd_rule(q, k, v, key_bias, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, key_bias, block_q, block_k, interpret)
-    return out, (q, k, v, key_bias)
-
-
-def _flash_bwd_rule(block_q, block_k, interpret, res, g):
-    q, k, v, key_bias = res
-
-    def ref(q, k, v):
-        return multi_head_attention(q, k, v, bias=key_bias[:, None, None, :])
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(key_bias)
+    return (dq.reshape(b, h, qs, d), dk.reshape(b, h, ks, d),
+            dv.reshape(b, h, ks, d), jnp.zeros_like(key_bias), None)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
