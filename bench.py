@@ -34,7 +34,10 @@ Reference upper-bound derivation (favors the reference):
 Timing method: the step runs inside ONE jitted ``lax.fori_loop`` (batch pool
 indexed by iteration) and time is taken between two host fetches of the final
 loss scalar, differencing two iteration counts to cancel the RPC constant —
-see visitron_tpu/utils/benchmark.py.  On this environment's remote-attached
+see visitron_tpu/utils/benchmark.py.  Absolute numbers on the remote-relay
+chip carry ~±25% run-to-run variance from external load on the relay host
+(measured: identical code at 117/163/184 ms across sessions, VALIDATION.md);
+within-run comparisons are reliable.  On this environment's remote-attached
 TPU, ``jax.block_until_ready`` returns without syncing, so host-side loop
 timing measures RPC enqueue rather than compute; the on-device loop measures
 true step time (validated at 97% of v5e peak on a bare 4096^3 matmul).

@@ -1,73 +1,106 @@
 """Pretraining-step throughput/MFU probe (reference-scale joint encoder).
 
 Measures the jitted multimodal pretraining step (BERT-base, 512 text tokens +
-192-bucketed image regions, MLM + action + token heads, AdamW) on the
-attached accelerator, with and without the Pallas flash-attention kernel,
-and prints one JSON line per variant.  Companion to bench.py (which stays
-the single driver-facing benchmark).
+image regions, MLM + action + token heads, AdamW, training dropout active)
+on the attached accelerator and prints one JSON line per variant.
+
+Timing uses the ON-DEVICE fori_loop method (utils/benchmark.time_step_fn):
+on this environment's remote-relay TPU, host loops + block_until_ready
+measure RPC enqueue rather than compute (see bench.py docstring), which is
+how an earlier revision of this tool over-reported throughput (e.g. "830
+examples/s" at batch 32 — the honest number is ~112 ex/s at batch 8; batch
+32 does not even fit v5e HBM without flash or remat).  Companion to bench.py
+(which stays the single driver-facing benchmark).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
     __import__("os").path.abspath(__file__))))
 
-BATCH = 16
 SEQ = 512
 IMG = 256  # joint 768 tokens: flash-eligible (%128)
-TIMED = 20
+
+PEAK_BF16 = {"TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+             "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+             "TPU v6e": 918e12}
 
 
-def _batch(rng, vocab, img_dim):
+def _batch(rng, vocab, img_dim, batch):
     return {
-        "input_ids": rng.integers(0, vocab, (BATCH, SEQ)).astype(np.int32),
-        "token_type_ids": rng.integers(0, 4, (BATCH, SEQ)).astype(np.int32),
-        "attention_mask": np.ones((BATCH, SEQ + IMG), np.int32),
-        "labels": np.where(rng.random((BATCH, SEQ + IMG)) < 0.15,
-                           rng.integers(0, vocab, (BATCH, SEQ + IMG)), -1).astype(np.int32),
-        "token_labels": np.full((BATCH, SEQ + IMG), -1, np.int32),
-        "img_feats": rng.standard_normal((BATCH, IMG, img_dim)).astype(np.float32),
-        "img_location_embeddings": rng.standard_normal((BATCH, IMG, 128)).astype(np.float32),
-        "next_action": rng.integers(0, 36, (BATCH,)).astype(np.int32),
+        "input_ids": rng.integers(0, vocab, (batch, SEQ)).astype(np.int32),
+        "token_type_ids": rng.integers(0, 4, (batch, SEQ)).astype(np.int32),
+        "attention_mask": np.ones((batch, SEQ + IMG), np.int32),
+        "labels": np.where(rng.random((batch, SEQ + IMG)) < 0.15,
+                           rng.integers(0, vocab, (batch, SEQ + IMG)), -1).astype(np.int32),
+        "token_labels": np.full((batch, SEQ + IMG), -1, np.int32),
+        "img_feats": rng.standard_normal((batch, IMG, img_dim)).astype(np.float32),
+        "img_location_embeddings": rng.standard_normal((batch, IMG, 128)).astype(np.float32),
+        "next_action": rng.integers(0, 36, (batch,)).astype(np.int32),
     }
 
 
-def run(use_flash: bool) -> dict:
+def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
+    import optax
 
     from visitron_tpu.models import BertConfig
     from visitron_tpu.train.pretrain import PretrainTrainer
+    from visitron_tpu.utils.benchmark import stack_batches, time_step_fn
 
     cfg = BertConfig(vocab_size=30525, max_position_embeddings=768,
                      type_vocab_size=4, dtype=jnp.bfloat16,
-                     attention_probs_dropout_prob=0.0,
-                     use_flash_attention=use_flash)
+                     use_flash_attention=use_flash, remat=remat)
     trainer = PretrainTrainer(cfg, total_steps=100)
     rng = np.random.default_rng(0)
-    batch = _batch(rng, cfg.vocab_size, cfg.img_feature_dim)
-    state = trainer.init_state(batch)
-    step = trainer.step_fn()
-    state, bundle = step(state, batch)
-    jax.block_until_ready(bundle["loss"])
-    t0 = time.perf_counter()
-    for _ in range(TIMED):
-        state, bundle = step(state, batch)
-    jax.block_until_ready(bundle["loss"])
-    dt = time.perf_counter() - t0
-    ex_s = BATCH * TIMED / dt
-    return {"metric": "pretrain_examples_per_sec_per_chip",
-            "value": round(ex_s / max(jax.local_device_count(), 1), 2),
-            "unit": "examples/s/chip", "flash": use_flash,
-            "ms_per_step": round(dt / TIMED * 1000, 2)}
+    batches = [_batch(rng, cfg.vocab_size, cfg.img_feature_dim, batch)
+               for _ in range(2)]
+    state = trainer.init_state(batches[0])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, b):
+        rngk, dropout_rng = jax.random.split(state["rng"])
+        (_, bundle), grads = jax.value_and_grad(
+            trainer._loss_fn, has_aux=True)(state["params"], b, dropout_rng, False)
+        updates, opt_state = trainer.optimizer.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return ({"params": params, "opt_state": opt_state, "rng": rngk},
+                bundle["loss"])
+
+    jb = [jax.tree.map(jnp.asarray, b) for b in batches]
+    ms = time_step_fn(step, state, stack_batches(jb), n_lo=3, n_hi=13)
+    out = {"metric": "pretrain_examples_per_sec_per_chip",
+           "value": round(batch / (ms / 1000.0) /
+                          max(jax.local_device_count(), 1), 2),
+           "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
+           "remat": remat, "ms_per_step": round(ms, 2)}
+    try:
+        cost = step.lower(state, jb[0]).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = PEAK_BF16.get(jax.devices()[0].device_kind)
+        if flops and peak:
+            out["mfu"] = round(flops / (ms / 1000.0) / peak, 4)
+            out["step_tflops"] = round(flops / 1e12, 2)
+    except Exception:
+        pass
+    return out
 
 
 if __name__ == "__main__":
-    for flash in (False, True, False, True):
-        print(json.dumps(run(flash)), flush=True)
+    for batch, flash, remat in ((8, False, False), (16, False, False),
+                                (32, True, False), (32, False, True)):
+        try:
+            print(json.dumps(run(batch, flash, remat)), flush=True)
+        except Exception as e:  # OOM configs report instead of crash
+            print(json.dumps({"batch": batch, "flash": flash, "remat": remat,
+                              "error": str(e)[:160]}), flush=True)
