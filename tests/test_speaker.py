@@ -139,3 +139,19 @@ def test_speaker_and_augment_cli(tmp_path):
     n_aug = len(trainer._instances(["train"]))
     n_base = len(trainer_base._instances(["train"]))
     assert n_aug == n_base + 4
+
+
+def test_sampled_captions_vary_and_stay_valid(world, speaker, trained, tok):
+    """temperature > 0: captions differ across seeds but remain decodable;
+    temperature 0 stays deterministic."""
+    state, _ = trained
+    r1 = speaker.augment(state["params"], tok, np.random.default_rng(5), n=4,
+                         batch_size=4, temperature=1.0)
+    r2 = speaker.augment(state["params"], tok, np.random.default_rng(9), n=4,
+                         batch_size=4, temperature=1.0)
+    assert all(rec["instructions"][0] for rec in r1 + r2)
+    g1 = speaker.augment(state["params"], tok, np.random.default_rng(5), n=4,
+                         batch_size=4, temperature=0.0)
+    g2 = speaker.augment(state["params"], tok, np.random.default_rng(5), n=4,
+                         batch_size=4, temperature=0.0)
+    assert [r["instructions"] for r in g1] == [r["instructions"] for r in g2]

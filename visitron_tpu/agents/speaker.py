@@ -162,13 +162,18 @@ class SpeakerAgent:
         return step
 
     # -- generation ---------------------------------------------------------
-    def generate_fn(self):
-        """Greedy decode: (params, traj batch, rng) -> (B, max_words) ids."""
-        if self._generate is not None:
-            return self._generate
+    def generate_fn(self, temperature: float = 0.0):
+        """Decode: (params, traj batch[, rng]) -> (B, max_words) ids.
+
+        ``temperature`` 0 = greedy argmax; > 0 samples from the softmax at
+        that temperature (EnvDrop samples its augmentation captions for
+        diversity — one caption per walk, but varied across walks/runs)."""
+        key = ("generate", temperature)
+        if key in getattr(self, "_generate_cache", {}):
+            return self._generate_cache[key]
 
         @jax.jit
-        def generate(params, batch):
+        def generate(params, batch, rng):
             a_t, f_t = self._traj_feats(batch["cur_row"], batch["view"],
                                         batch["teacher"], batch["active"])
             lengths = batch["active"].sum(axis=1).astype(jnp.int32)
@@ -179,23 +184,30 @@ class SpeakerAgent:
             b = ctx.shape[0]
             h0 = jnp.zeros((b, self.hidden_size))
 
-            def step(carry, _):
+            def step(carry, step_rng):
                 word, h, c, ended = carry
                 logits, h1, c1 = self.decoder.apply(
                     params["decoder"], word[:, None], ctx, ctx_mask, h, c,
                     deterministic=True)
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                lg = logits[:, 0].astype(jnp.float32)
+                if temperature > 0.0:
+                    nxt = jax.random.categorical(
+                        step_rng, lg / temperature).astype(jnp.int32)
+                else:
+                    nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
                 nxt = jnp.where(ended, self.pad_id, nxt)
                 new_ended = ended | (nxt == self.eos_id)
                 return (nxt, h1, c1, new_ended), nxt
 
             bos = jnp.full((b,), self.bos_id, jnp.int32)
             (_, _, _, _), words = jax.lax.scan(
-                step, (bos, h0, h0, jnp.zeros(b, bool)), None,
-                length=self.max_words)
+                step, (bos, h0, h0, jnp.zeros(b, bool)),
+                jax.random.split(rng, self.max_words))
             return words.T  # (B, max_words)
 
-        self._generate = generate
+        if not hasattr(self, "_generate_cache"):
+            self._generate_cache = {}
+        self._generate_cache[key] = generate
         return generate
 
     # -- host-side helpers --------------------------------------------------
@@ -277,9 +289,10 @@ class SpeakerAgent:
 
     def augment(self, params, tokenizer, rng: np.random.Generator, n: int,
                 batch_size: int = 32, min_hops: int = 2, max_hops: int = 6,
-                prefix: str = "AUG") -> list[dict]:
-        """Generate R2R-format augmentation records from sampled walks."""
-        gen = self.generate_fn()
+                prefix: str = "AUG", temperature: float = 0.0) -> list[dict]:
+        """Generate R2R-format augmentation records from sampled walks.
+        ``temperature`` > 0 samples captions (diversity) instead of greedy."""
+        gen = self.generate_fn(temperature)
         rt = self.runtime
         records = []
         while len(records) < n:
@@ -290,7 +303,8 @@ class SpeakerAgent:
                 np.asarray(walks["start_views"], np.int32),
                 np.asarray(walks["goal_rows"], np.int32), self.episode_len)
             ids = np.asarray(gen(params, {k: jnp.asarray(v) for k, v in
-                                          arrays.items()}))
+                                          arrays.items()},
+                                 jax.random.PRNGKey(int(rng.integers(2**31)))))
             texts = self.decode_words(tokenizer, ids)
             for i, text in enumerate(texts):
                 if not text:

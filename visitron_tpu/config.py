@@ -121,6 +121,7 @@ class RunConfig:
     speaker_checkpoint: str = ""      # speaker output_dir for `augment`
     num_aug: int = 1000               # walks to caption in `augment`
     max_words: int = 64               # speaker decode length
+    aug_temperature: float = 0.0      # 0 = greedy captions; >0 samples
 
     def __post_init__(self):
         valid = ("planner_path", "player_path", "trusted_path")

@@ -277,7 +277,8 @@ def run_augment(cfg: RunConfig):
             "`run.py speaker` first or pass --speaker_checkpoint")
     params = ckpt.restore(step, {"params": state["params"]})["params"]
     records = sp.augment(params, ws.tokenizer,
-                         np.random.default_rng(cfg.seed), cfg.num_aug)
+                         np.random.default_rng(cfg.seed), cfg.num_aug,
+                         temperature=cfg.aug_temperature)
     out = os.path.join(cfg.output_dir, "aug_data.json")
     os.makedirs(cfg.output_dir, exist_ok=True)
     write_aug_records(records, out)
