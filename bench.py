@@ -49,7 +49,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -60,16 +59,7 @@ SEQ = 512
 FEAT_DIM = 2048
 TIMED_STEPS = 20
 
-# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
-PEAK_BF16_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,
-    "TPU v5e": 197e12,
-    "TPU v5": 459e12,
-    "TPU v5p": 459e12,
-    "TPU v6 lite": 918e12,
-    "TPU v6e": 918e12,
-}
+from visitron_tpu.utils.benchmark import PEAK_BF16_FLOPS  # noqa: E402
 
 
 def main() -> None:

@@ -47,7 +47,7 @@ def speaker(world, runtime, tok):
         runtime=runtime, feature_dim=world.scene_feat_dim, vocab_size=len(tok),
         bos_id=tok.vocab[tok.cls_token], eos_id=tok.vocab[tok.sep_token],
         pad_id=tok.pad_token_id, episode_len=EP_LEN, max_words=16,
-        hidden_size=32, wemb=16, learning_rate=3e-3)
+        hidden_size=32, wemb=16, learning_rate=5e-3)
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +58,10 @@ def trained(speaker, instances, runtime, tok):
     state = speaker.init_state()
     step = speaker.train_step_fn()
     losses = []
-    for batch in batcher.train_batches(12, episode_len=EP_LEN):
+    # 40 iterations: enough that greedy decoding reliably emits words (a
+    # barely-trained speaker can collapse to immediate EOS, which the
+    # augment() empty-caption guard correctly rejects).
+    for batch in batcher.train_batches(40, episode_len=EP_LEN):
         state, loss = step(state, speaker.attach_words(batch, tok, text_by_idx))
         losses.append(float(loss))
     return state, losses

@@ -15,7 +15,6 @@ examples/s" at batch 32 — the honest number is ~112 ex/s at batch 8; batch
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 
@@ -27,9 +26,6 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
 SEQ = 512
 IMG = 256  # joint 768 tokens: flash-eligible (%128)
 
-PEAK_BF16 = {"TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
-             "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
-             "TPU v6e": 918e12}
 
 
 def _batch(rng, vocab, img_dim, batch):
@@ -49,11 +45,11 @@ def _batch(rng, vocab, img_dim, batch):
 def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
-    import optax
 
     from visitron_tpu.models import BertConfig
     from visitron_tpu.train.pretrain import PretrainTrainer
-    from visitron_tpu.utils.benchmark import stack_batches, time_step_fn
+    from visitron_tpu.utils.benchmark import (PEAK_BF16_FLOPS,
+                                              stack_batches, time_step_fn)
 
     cfg = BertConfig(vocab_size=30525, max_position_embeddings=768,
                      type_vocab_size=4, dtype=jnp.bfloat16,
@@ -64,16 +60,11 @@ def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
                for _ in range(2)]
     state = trainer.init_state(batches[0])
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    raw = trainer.raw_step_fn()  # the exact training program
+
     def step(state, b):
-        rngk, dropout_rng = jax.random.split(state["rng"])
-        (_, bundle), grads = jax.value_and_grad(
-            trainer._loss_fn, has_aux=True)(state["params"], b, dropout_rng, False)
-        updates, opt_state = trainer.optimizer.update(
-            grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
-        return ({"params": params, "opt_state": opt_state, "rng": rngk},
-                bundle["loss"])
+        state, bundle = raw(state, b)
+        return state, bundle["loss"]
 
     jb = [jax.tree.map(jnp.asarray, b) for b in batches]
     ms = time_step_fn(step, state, stack_batches(jb), n_lo=3, n_hi=13)
@@ -83,11 +74,11 @@ def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
            "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
            "remat": remat, "ms_per_step": round(ms, 2)}
     try:
-        cost = step.lower(state, jb[0]).compile().cost_analysis()
+        cost = raw.lower(state, jb[0]).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
-        peak = PEAK_BF16.get(jax.devices()[0].device_kind)
+        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
         if flops and peak:
             out["mfu"] = round(flops / (ms / 1000.0) / peak, 4)
             out["step_tflops"] = round(flops / 1e12, 2)

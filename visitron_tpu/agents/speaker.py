@@ -267,7 +267,15 @@ class SpeakerAgent:
         scans = sorted(rt.graphs)
         recs = {"scans": [], "start_rows": [], "start_views": [],
                 "goal_rows": [], "headings": []}
+        attempts = 0
+        max_attempts = max(1000, 200 * n)
         while len(recs["scans"]) < n:
+            attempts += 1
+            if attempts > max_attempts:
+                raise RuntimeError(
+                    f"sample_walks: no viewpoint pairs with hops in "
+                    f"[{min_hops}, {max_hops}] after {attempts} attempts "
+                    f"({len(recs['scans'])}/{n} found) — widen the hop range")
             scan = scans[rng.integers(len(scans))]
             g = rt.graphs[scan]
             off = rt.feat_table.scan_offsets[scan]
@@ -295,7 +303,14 @@ class SpeakerAgent:
         gen = self.generate_fn(temperature)
         rt = self.runtime
         records = []
+        empty_rounds = 0
         while len(records) < n:
+            if empty_rounds >= 5:
+                raise RuntimeError(
+                    f"augment: speaker produced empty captions for 5 "
+                    f"consecutive batches ({len(records)}/{n} records) — "
+                    "the checkpoint likely decodes EOS immediately; train "
+                    "longer or raise --aug_temperature")
             take = min(batch_size, n - len(records))
             walks = self.sample_walks(rng, take, min_hops, max_hops)
             arrays = rt.teacher_rollout_arrays(
@@ -306,6 +321,7 @@ class SpeakerAgent:
                                           arrays.items()},
                                  jax.random.PRNGKey(int(rng.integers(2**31)))))
             texts = self.decode_words(tokenizer, ids)
+            before = len(records)
             for i, text in enumerate(texts):
                 if not text:
                     continue
@@ -325,6 +341,7 @@ class SpeakerAgent:
                     "path_id": f"{prefix}_{len(records)}",
                     "instructions": [text],
                 })
+            empty_rounds = empty_rounds + 1 if len(records) == before else 0
         return records
 
 

@@ -40,7 +40,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def multi_head_attention(q, k, v, bias=None, dropout_rng=None, dropout_rate: float = 0.0,
@@ -90,7 +89,7 @@ def _mix_seed(seed_ref, bh):
     return s ^ (jnp.asarray(bh).astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *refs,
                 block_q: int, block_k: int, sm_scale: float, rate: float):
     import jax.experimental.pallas as pl
 
@@ -129,10 +128,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     acc, m, l = jax.lax.fori_loop(0, num_kb, loop_body, (acc0, m0, l0))
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv[:, None]).astype(o_ref.dtype)
-    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-    # (8, Bq) sublane-replicated layout: TPU block shapes need the trailing
-    # two dims (8, 128)-aligned, so per-row stats can't be stored as (1, Bq).
-    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+    if refs:  # lse requested (training path: residual for the backward)
+        lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        # (8, Bq) sublane-replicated layout: TPU block shapes need the
+        # trailing two dims (8, 128)-aligned; (1, Bq) stats are rejected.
+        refs[0][0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
 def _bwd_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref,
@@ -228,13 +228,12 @@ def flash_attention(q, k, v, key_bias, dropout_seed=None, dropout_rate: float = 
     Shapes must tile: Q % block_q == 0, K % block_k == 0, D in {64, 128}.
     ``interpret`` runs the kernels in Pallas interpret mode (CPU tests).
     """
-    out, _ = _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate,
-                            block_q, block_k, interpret)
-    return out
+    return _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate,
+                          block_q, block_k, interpret, need_lse=False)[0]
 
 
 def _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate, block_q,
-                   block_k, interpret):
+                   block_k, interpret, need_lse=True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -249,7 +248,12 @@ def _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate, block_q,
             else jnp.asarray(dropout_seed, jnp.int32).reshape(1))
 
     grid = (b * h, qs // block_q)
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * h, qs, d), q.dtype)]
+    if need_lse:  # logsumexp residual for the backward (training path only)
+        out_specs.append(pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j)))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 8, qs), jnp.float32))
+    got = pl.pallas_call(
         functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
                           sm_scale=sm_scale, rate=dropout_rate),
         grid=grid,
@@ -260,19 +264,14 @@ def _flash_forward(q, k, v, key_bias, dropout_seed, dropout_rate, block_q,
             pl.BlockSpec((1, ks, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, ks), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, qs, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 8, qs), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(seed, qr, kr, vr, biasr)
-    return out.reshape(b, h, qs, d), lse
+    out = got[0].reshape(b, h, qs, d)
+    return out, (got[1] if need_lse else None)
 
 
 def _flash_fwd_rule(q, k, v, key_bias, dropout_seed, dropout_rate, block_q,

@@ -89,10 +89,12 @@ class PretrainTrainer:
                                batch["token_labels"])
         return bundle["loss"], bundle
 
-    def step_fn(self):
-        if self._step_fn is not None:
-            return self._step_fn
-        data = batch_sharding(self.mesh)
+    def raw_step_fn(self):
+        """The jitted (state, device batch) -> (state, bundle) train step —
+        no host-side device_put.  Shared by step_fn and benchmark tools so
+        they always measure exactly the training program."""
+        if getattr(self, "_raw_step", None) is not None:
+            return self._raw_step
 
         # Shardings are inferred from the arguments: init_state places params
         # replicated; dryrun/tensor-parallel callers may re-place them with
@@ -108,6 +110,15 @@ class PretrainTrainer:
             params = optax.apply_updates(state["params"], updates)
             new_state = {"params": params, "opt_state": opt_state, "rng": rng}
             return new_state, bundle
+
+        self._raw_step = step
+        return step
+
+    def step_fn(self):
+        if self._step_fn is not None:
+            return self._step_fn
+        data = batch_sharding(self.mesh)
+        step = self.raw_step_fn()
 
         def run(state, host_batch):
             batch = jax.tree.map(

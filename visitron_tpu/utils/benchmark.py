@@ -25,6 +25,18 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets) —
+# shared by bench.py and tools/ so the MFU denominator cannot drift.
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
 
 def stack_batches(batches: list) -> dict:
     """Stack a list of same-shape batch dicts into one leading-dim pytree."""
