@@ -161,6 +161,16 @@ class SpeakerAgent:
         self._train_step = step
         return step
 
+    def eval_loss_fn(self):
+        """Deterministic word-CE on held-out (trajectory, text) pairs."""
+        if getattr(self, "_eval_loss", None) is None:
+            @jax.jit
+            def f(params, batch):
+                return self._loss(params, batch, jax.random.PRNGKey(0), True)
+
+            self._eval_loss = f
+        return self._eval_loss
+
     # -- generation ---------------------------------------------------------
     def generate_fn(self, temperature: float = 0.0):
         """Decode: (params, traj batch[, rng]) -> (B, max_words) ids.

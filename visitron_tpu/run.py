@@ -237,15 +237,34 @@ def run_speaker(cfg: RunConfig):
 
     ws = _workspace_for_nav(cfg)
     logger = setup_logger(output_dir=cfg.output_dir)
-    instances = ViewpointTrainer(cfg, ws)._instances(["train"])
+    helper = ViewpointTrainer(cfg, ws)
+    instances = helper._instances(["train"])
     sp = _speaker_for(cfg, ws)
     batcher = NavEpisodeBatcher(
         instances, ws.runtime, batch_size=cfg.train_batch_size(1),
         path_type=cfg.path_type, seed=cfg.seed,
         length_sort_window=cfg.length_sort_window)
     text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i) for i in instances}
+
+    # Held-out word-CE per checkpoint (val_seen when the dataset ships it).
+    val_batches = []
+    try:
+        val_inst = helper._instances(["val_seen"])
+        vb = NavEpisodeBatcher(val_inst, ws.runtime,
+                               batch_size=cfg.train_batch_size(1),
+                               path_type=cfg.path_type, seed=cfg.seed)
+        val_text = {i.inst_idx: SpeakerAgent.instance_text(i) for i in val_inst}
+        val_batches = [
+            sp.attach_words(b, ws.tokenizer, val_text)
+            for _, b in zip(range(4),
+                            vb.train_batches(4, episode_len=cfg.episode_len))
+        ]
+    except FileNotFoundError:
+        logger.info("no val_seen split; skipping speaker validation")
+
     state = sp.init_state()
     step = sp.train_step_fn()
+    eval_loss = sp.eval_loss_fn()
     ckpt = CheckpointManager(cfg.output_dir)
     for it, batch in enumerate(
             batcher.train_batches(cfg.num_iterations,
@@ -255,6 +274,10 @@ def run_speaker(cfg: RunConfig):
             logger.info("speaker iter %d loss %.4f", it, float(loss))
         if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
             ckpt.save(it, state["params"], state["opt_state"])
+            if val_batches:
+                v = float(np.mean([float(eval_loss(state["params"], b))
+                                   for b in val_batches]))
+                logger.info("speaker ckpt %d val word-CE %.4f", it, v)
     return state
 
 
