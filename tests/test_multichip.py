@@ -75,6 +75,29 @@ def test_dryrun_multichip_entrypoint():
     entry.dryrun_multichip(8)
 
 
+def test_dryrun_never_allocates_tpu():
+    """dryrun_multichip is a CPU-mesh correctness check: it must pass even
+    when the process's default jax backend is completely broken (MULTICHIP_r02
+    went red because the old code probed jax.devices() and died on a transient
+    libtpu mismatch).  Poison the default platform to a nonexistent backend;
+    the dryrun must scrub the env, re-exec CPU-only, and succeed."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "bogus_accelerator"  # default backend = broken
+    env.pop("VISITRON_DRYRUN_CHILD", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip ok" in proc.stdout
+
+
 def test_entry_compiles():
     import __graft_entry__ as entry
 
