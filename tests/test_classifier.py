@@ -1,5 +1,7 @@
 """Question-asking classifier: dataset snapshots, frozen-encoder training."""
 
+import functools
+
 import jax
 import numpy as np
 import pytest
@@ -114,7 +116,9 @@ def test_classifier_learns_when_unfrozen(world, runtime, instances):
     jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
     state = agent.init_state()
     step = agent.train_step_fn()
-    det = jax.jit(lambda p: agent.loss_fn(p, jb, jax.random.PRNGKey(0), True)[0])
+    det = jax.jit(lambda p, rt: agent.loss_fn(rt, p, jb, jax.random.PRNGKey(0),
+                                              True)[0])
+    det = functools.partial(det, rt=agent.runtime)
     before = float(det(state["params"]))
     for _ in range(60):
         state, _ = step(state, jb)

@@ -65,21 +65,38 @@ agent = ViewpointAgent(cfg, runtime, feature_dim=32, episode_len=4,
                        rnn_dim=16, encoder_hidden_size=16, aemb=8,
                        max_seq_length=64, mesh=mesh)
 # Per-host strided instance shard + per-host half of the global batch 4.
+# length_bucket 16: both hosts must independently derive the same GLOBAL
+# sub-64 dialog bucket (max length across both hosts' concurrent batches)
+# so the SPMD step sees identical shapes without any collective.
 batcher = NavEpisodeBatcher(instances, runtime, batch_size=2,
-                            host_id=jax.process_index(), num_hosts=2)
+                            host_id=jax.process_index(), num_hosts=2,
+                            length_bucket=16)
 state = agent.init_state()
 agent.train_step_fn()
 from visitron_tpu.parallel import shard_batch
 placed = []
+shapes = []
 for batch in batcher.train_batches(2, episode_len=4):
     jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    shapes.append(jb["ids"].shape[1])
     placed.append(shard_batch(mesh, jb))
+assert any(s < 64 for s in shapes), shapes  # bucketing really trimmed
 # Compile BEFORE any cross-process collective executes, then meet at a
 # barrier: compile-time skew between the processes (cold vs warm persistent
 # cache) must not eat into Gloo's 30 s collective rendezvous timeout.
-compiled = agent._train_step_jit.lower(state, placed[0]).compile()
-from jax._src import distributed as _dist
+# Globally-replicated runtime tables (each host holds an identical copy);
+# the raw SPMD step takes them as a pytree argument.
+rt_global = agent.step_runtime()
+compiled = {}
+for pb in placed:  # one AOT executable per distinct dialog-bucket shape
+    s = pb["ids"].shape[1]
+    if s not in compiled:
+        compiled[s] = agent.train_step_jit().lower(state, pb, rt_global).compile()
 try:
+    # Not yet public API: coordination-service barrier keyed on a name.  If
+    # the import or call signature moves in a jax upgrade, fall back to
+    # running unsynced (the warm collective below still has its own timeout).
+    from jax._src import distributed as _dist
     _dist.global_state.client.wait_at_barrier("compiled", 300_000)
 except Exception as e:  # barrier API moved: fall back to running unsynced
     print("barrier skipped:", e, flush=True)
@@ -94,10 +111,11 @@ warm = jax.jit(lambda x: x.sum(),
 assert float(warm) == 4.0, float(warm)
 losses = []
 for pb in placed:
-    state, loss = compiled(state, pb)
+    state, loss = compiled[pb["ids"].shape[1]](state, pb, rt_global)
     losses.append(float(loss))
 assert all(np.isfinite(losses)), losses
 print(f"RESULT {jax.process_index()} {losses[0]:.6f} {losses[1]:.6f}", flush=True)
+print(f"SHAPES {jax.process_index()} {shapes[0]} {shapes[1]}", flush=True)
 """
 
 
@@ -135,11 +153,19 @@ def test_two_process_data_parallel_train(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     results = {}
+    shapes = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 _, pid, l0, l1 = line.split()
                 results[pid] = (float(l0), float(l1))
+            elif line.startswith("SHAPES"):
+                _, pid, s0, s1 = line.split()
+                shapes[pid] = (int(s0), int(s1))
     assert set(results) == {"0", "1"}, outs
     # Replicated loss: both hosts computed the same global value.
     assert results["0"] == results["1"], results
+    # Global length bucketing: both hosts independently derived the same
+    # (collective-free) per-batch dialog bucket, at least one below max_seq.
+    assert shapes["0"] == shapes["1"], shapes
+    assert min(shapes["0"]) < 64, shapes

@@ -28,11 +28,16 @@ class NavEpisodeBatcher:
         host_id: int = 0,
         num_hosts: int = 1,
         length_sort_window: int = 8,
+        length_bucket: int = 128,
     ):
+        self.instances_all = instances
         self.instances = instances[host_id::num_hosts]
         self.runtime = runtime
         self.batch_size = batch_size
         self.path_type = path_type
+        self.seed = seed
+        self.host_id = host_id
+        self.num_hosts = num_hosts
         self.rng = np.random.default_rng(seed)
         # Length-grouped shuffling: within each shuffled window of
         # ``length_sort_window`` batches, instances are ordered by dialog
@@ -42,6 +47,16 @@ class NavEpisodeBatcher:
         # (agent.py:151-184) — a random batch is otherwise padded to its
         # single longest dialog.  0/1 disables (plain shuffled batches).
         self.length_sort_window = length_sort_window
+        # Multi-host: batches are trimmed by the batcher itself to the GLOBAL
+        # length bucket (max dialog length across every host's concurrent
+        # batch, rounded up to a ``length_bucket`` multiple).  The schedule is
+        # deterministic given (instances, seed), so each host derives every
+        # other host's batch lengths by simulating their shards' index
+        # streams — no collective needed, and all hosts present identical
+        # global array shapes to the SPMD step.
+        self.length_bucket = length_bucket
+        self._streams = None
+        self._shards = None
 
     def _make_batch(self, items: list[NavInstance]) -> dict:
         rt = self.runtime
@@ -94,31 +109,76 @@ class NavEpisodeBatcher:
                 batch["goal_rows"], episode_len))
         return batch
 
-    def _shuffled_epoch(self) -> list[int]:
-        epoch = np.arange(len(self.instances))
-        self.rng.shuffle(epoch)
+    def _window_sort(self, idx: list[int], shard) -> list[int]:
+        """Length-sort ``idx`` within windows of ``length_sort_window``
+        batches, starting at index 0 so window boundaries stay aligned to
+        batch boundaries (a carried epoch tail is re-windowed with the next
+        epoch instead of offsetting it)."""
         w = self.length_sort_window * self.batch_size
-        if self.length_sort_window <= 1 or len(epoch) <= self.batch_size:
-            return epoch.tolist()
-        lengths = np.array([self.instances[i].length for i in epoch])
+        if self.length_sort_window <= 1 or len(idx) <= self.batch_size:
+            return list(idx)
+        arr = np.asarray(idx)
+        lengths = np.array([shard[i].length for i in arr])
         out: list[int] = []
-        for s in range(0, len(epoch), w):
-            chunk, cl = epoch[s:s + w], lengths[s:s + w]
+        for s in range(0, len(arr), w):
+            chunk, cl = arr[s:s + w], lengths[s:s + w]
             out.extend(chunk[np.argsort(cl, kind="stable")].tolist())
         return out
 
-    def train_batches(self, num_batches: int, episode_len: int | None = None):
-        """Infinite-style epoch-shuffled iterator; every batch full-size."""
+    def _batch_stream(self, shard, rng):
+        """Yield ``batch_size`` index lists into ``shard``: epoch-shuffled,
+        window-aligned length-sorted, tail wrapped into the next epoch."""
         order: list[int] = []
-        produced = 0
-        while produced < num_batches:
+        while True:
             while len(order) < self.batch_size:
-                order.extend(self._shuffled_epoch())
+                epoch = np.arange(len(shard))
+                rng.shuffle(epoch)
+                order = self._window_sort(order + epoch.tolist(), shard)
             take, order = order[: self.batch_size], order[self.batch_size:]
-            batch = self._make_batch([self.instances[i] for i in take])
+            yield take
+
+    def _ensure_streams(self) -> None:
+        if self._streams is not None:
+            return
+        if self.num_hosts > 1:
+            self._shards = [self.instances_all[h::self.num_hosts]
+                            for h in range(self.num_hosts)]
+            # Own shard consumes self.rng (identical to a fresh rng(seed) at
+            # this point); shadow hosts get fresh rngs with the same seed —
+            # exactly what each of them runs locally.
+            self._streams = [
+                self._batch_stream(sh, self.rng if h == self.host_id
+                                   else np.random.default_rng(self.seed))
+                for h, sh in enumerate(self._shards)]
+        else:
+            self._shards = [self.instances]
+            self._streams = [self._batch_stream(self.instances, self.rng)]
+
+    def _global_trim(self, batch: dict, global_max_len: int) -> dict:
+        s_full = batch["ids"].shape[1]
+        s = int(min(s_full,
+                    -(-max(1, global_max_len) // self.length_bucket)
+                    * self.length_bucket))
+        if s < s_full:
+            batch["ids"] = batch["ids"][:, :s]
+            batch["segs"] = batch["segs"][:, :s]
+        return batch
+
+    def train_batches(self, num_batches: int, episode_len: int | None = None):
+        """Infinite-style epoch-shuffled iterator; every batch full-size.
+        Schedule state persists across calls (the epoch tail wraps)."""
+        self._ensure_streams()
+        my = self.host_id if self.num_hosts > 1 else 0
+        for _ in range(num_batches):
+            takes = [next(s) for s in self._streams]
+            batch = self._make_batch(
+                [self._shards[my][i] for i in takes[my]])
+            if self.num_hosts > 1:
+                gmax = max(self._shards[h][i].length
+                           for h, t in enumerate(takes) for i in t)
+                batch = self._global_trim(batch, int(gmax))
             if episode_len is not None:
                 batch = self.with_teacher(batch, episode_len)
-            produced += 1
             yield batch
 
     def eval_batches(self, episode_len: int | None = None):

@@ -221,8 +221,7 @@ class ClassifierAgent:
         }
 
     # -- jitted loss -----------------------------------------------------------
-    def _episode_outputs(self, params, batch, rng, deterministic):
-        rt = self.runtime
+    def _episode_outputs(self, rt, params, batch, rng, deterministic):
         e, b, s = batch["lang_ids"].shape
 
         def enc_one(ids, segs, lens):
@@ -261,9 +260,9 @@ class ClassifierAgent:
         (_, _, _), qa_logits = jax.lax.scan(step, init, xs)
         return qa_logits.T  # (B, T)
 
-    def loss_fn(self, params, batch, rng, deterministic=True):
+    def loss_fn(self, rt, params, batch, rng, deterministic=True):
         # Per-step masked mean, then / episode_len (classifier/agent.py:493-507,585).
-        qa_logits = self._episode_outputs(params, batch, rng, deterministic)  # (B, T)
+        qa_logits = self._episode_outputs(rt, params, batch, rng, deterministic)  # (B, T)
         keep = (~batch["qa_ignore"]).astype(jnp.float32)
         per = bce_with_logits(qa_logits, batch["qa_target"], self.pos_weight) * keep
         n = jnp.maximum(keep.sum(axis=0), 1.0)  # per-step non-ignored count
@@ -274,10 +273,11 @@ class ClassifierAgent:
     def train_step_fn(self):
         if self._train_step is None:
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def train_step(state, batch):
+            def train_step(state, batch, rt):
                 rng, step_rng = jax.random.split(state["rng"])
                 (loss, _), grads = jax.value_and_grad(
-                    lambda p: self.loss_fn(p, batch, step_rng, deterministic=False),
+                    lambda p: self.loss_fn(rt, p, batch, step_rng,
+                                           deterministic=False),
                     has_aux=True)(state["params"])
                 updates, opt_state = self.optimizer.update(
                     grads, state["opt_state"], state["params"])
@@ -285,7 +285,7 @@ class ClassifierAgent:
                 return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
             def run(state, batch):
-                return train_step(state, self._place_batch(batch))
+                return train_step(state, self._place_batch(batch), self.runtime)
 
             self._train_step = run
         return self._train_step
@@ -296,8 +296,8 @@ class ClassifierAgent:
         from visitron_tpu.evaluation import binary_classification_metrics
 
         @jax.jit
-        def fwd(params, batch):
-            return self.loss_fn(params, batch, jax.random.PRNGKey(0), True)
+        def fwd(params, batch, rt):
+            return self.loss_fn(rt, params, batch, jax.random.PRNGKey(0), True)
 
         preds, labels = [], []
         total_loss, n = 0.0, 0
@@ -305,7 +305,8 @@ class ClassifierAgent:
             jb = {k: (np.asarray(v) if not isinstance(v, list) else v)
                   for k, v in batch.items()}
             loss, qa_logits = fwd(params, {k: v for k, v in jb.items()
-                                           if not isinstance(v, list)})
+                                           if not isinstance(v, list)},
+                                  self.runtime)
             total_loss += float(loss)
             n += 1
             probs = jax.nn.sigmoid(qa_logits)

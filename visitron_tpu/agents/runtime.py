@@ -40,7 +40,7 @@ from visitron_tpu.data.features import SceneFeatureTable
 from visitron_tpu.graph import NavGraph
 
 
-@dataclass
+@dataclass(eq=False)  # custom __eq__/__hash__ below (pytree aux semantics)
 class NavRuntime:
     graphs: dict[str, NavGraph]
     feat_table: SceneFeatureTable
@@ -113,6 +113,23 @@ class NavRuntime:
             pano_af=jnp.asarray(geo.all_point_angle_feature(), device_dtype),
             view_af=jnp.asarray(geo.point_angle_feature(0), device_dtype),
         )
+
+    # As pytree aux data (registration at module end), treedef equality uses
+    # these.  Identity equality breaks AOT: Compiled.call rejects any treedef
+    # mismatch, and mesh placement (``tree.map`` in ``step_runtime``) creates
+    # NEW NavRuntime instances carrying the SAME host state.  All
+    # trace-relevant data lives in the 8 array leaves, so aux equality only
+    # needs to keep genuinely different worlds distinct: compare the shared
+    # host-state objects by identity.
+    def __eq__(self, other):
+        return (type(other) is NavRuntime
+                and self.graphs is other.graphs
+                and self.feat_table is other.feat_table
+                and self.max_candidates == other.max_candidates)
+
+    def __hash__(self):
+        return hash((id(self.graphs), id(self.feat_table),
+                     self.max_candidates))
 
     # ------------------------------------------------------------------ host
     def row(self, scan: str, viewpoint: str) -> int:
@@ -337,3 +354,37 @@ class NavRuntime:
             "teacher": teacher,
             "active": active,
         }
+
+
+# ---------------------------------------------------------------------------
+# NavRuntime as a jax pytree: the 8 device tables are leaves, everything else
+# (graphs, host arrays, caches) rides along as opaque aux data.
+#
+# Why: jitted rollout code used to CLOSE OVER the device tables, which embeds
+# them into every lowered program as HLO constants — each lowering fetches
+# the arrays to host (minutes over a remote-relay TPU) and at Matterport
+# scale (~10.8K viewpoints x 36 x 2048 bf16 ~ 1.6 GB) would be fatal.
+# Registering the runtime as a pytree lets agents pass it as an ordinary jit
+# ARGUMENT: zero-copy (arrays are already device-resident), small HLO, and
+# table updates never trigger retraces of a different program.
+# ---------------------------------------------------------------------------
+
+_RT_DEVICE_FIELDS = ("feats", "count", "nbr", "point", "heading", "elev",
+                     "pano_af", "view_af")
+
+
+def _rt_flatten(rt: NavRuntime):
+    return tuple(getattr(rt, f) for f in _RT_DEVICE_FIELDS), rt
+
+
+def _rt_unflatten(aux: NavRuntime, children):
+    new = object.__new__(NavRuntime)
+    new.__dict__.update(aux.__dict__)
+    for f, c in zip(_RT_DEVICE_FIELDS, children):
+        setattr(new, f, c)
+    return new
+
+
+import jax  # noqa: E402  (registration only; jnp already imported above)
+
+jax.tree_util.register_pytree_node(NavRuntime, _rt_flatten, _rt_unflatten)

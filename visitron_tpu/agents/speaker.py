@@ -62,15 +62,15 @@ class SpeakerAgent:
         self._generate = None
 
     # -- trajectory features (device-side, from NavRuntime tables) ----------
-    def _traj_feats(self, cur_row, view, teacher, active):
+    def _traj_feats(self, rt, cur_row, view, teacher, active):
         """(B, T) int arrays -> (action_embeds (B, T, F), pano (B, T, 36, F)).
 
         Per step, the action embedding is the taken candidate's scene feature
         + its relative angle feature (zero at/after stop), and the panorama is
         the 36-view feature grid at the current state — the EnvDrop speaker's
-        input contract, built by pure gathers.
+        input contract, built by pure gathers.  ``rt`` is a jit argument
+        (pytree), never a closure — closures embed the tables as constants.
         """
-        rt = self.runtime
         b, t = cur_row.shape
         rows = cur_row.reshape(-1)
         views = view.reshape(-1)
@@ -116,13 +116,13 @@ class SpeakerAgent:
                 "rng": jax.random.PRNGKey(self.seed + 1)}
 
     # -- loss ---------------------------------------------------------------
-    def _loss(self, params, batch, rng, deterministic):
+    def _loss(self, rt, params, batch, rng, deterministic):
         """Teacher-forced word CE over (trajectory -> words) pairs.
 
         batch: cur_row/view/teacher/active (B, T) + words (B, L) padded with
         pad_id; words[:, 0] is BOS, the loss predicts words[:, 1:].
         """
-        a_t, f_t = self._traj_feats(batch["cur_row"], batch["view"],
+        a_t, f_t = self._traj_feats(rt, batch["cur_row"], batch["view"],
                                     batch["teacher"], batch["active"])
         lengths = batch["active"].sum(axis=1).astype(jnp.int32)
         r1, r2 = jax.random.split(rng)
@@ -149,26 +149,29 @@ class SpeakerAgent:
             return self._train_step
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state, batch):
+        def step(state, batch, rt):
             rng, step_rng = jax.random.split(state["rng"])
             loss, grads = jax.value_and_grad(
-                lambda p: self._loss(p, batch, step_rng, False))(state["params"])
+                lambda p: self._loss(rt, p, batch, step_rng, False))(state["params"])
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
-        self._train_step = step
-        return step
+        def run(state, batch):
+            return step(state, batch, self.runtime)
+
+        self._train_step = run
+        return run
 
     def eval_loss_fn(self):
         """Deterministic word-CE on held-out (trajectory, text) pairs."""
         if getattr(self, "_eval_loss", None) is None:
             @jax.jit
-            def f(params, batch):
-                return self._loss(params, batch, jax.random.PRNGKey(0), True)
+            def f(params, batch, rt):
+                return self._loss(rt, params, batch, jax.random.PRNGKey(0), True)
 
-            self._eval_loss = f
+            self._eval_loss = lambda params, batch: f(params, batch, self.runtime)
         return self._eval_loss
 
     # -- generation ---------------------------------------------------------
@@ -183,8 +186,8 @@ class SpeakerAgent:
             return self._generate_cache[key]
 
         @jax.jit
-        def generate(params, batch, rng):
-            a_t, f_t = self._traj_feats(batch["cur_row"], batch["view"],
+        def generate(params, batch, rng, rt):
+            a_t, f_t = self._traj_feats(rt, batch["cur_row"], batch["view"],
                                         batch["teacher"], batch["active"])
             lengths = batch["active"].sum(axis=1).astype(jnp.int32)
             ctx = self.encoder.apply(params["encoder"], a_t, f_t, lengths,
@@ -215,10 +218,13 @@ class SpeakerAgent:
                 jax.random.split(rng, self.max_words))
             return words.T  # (B, max_words)
 
+        def run(params, batch, rng):
+            return generate(params, batch, rng, self.runtime)
+
         if not hasattr(self, "_generate_cache"):
             self._generate_cache = {}
-        self._generate_cache[key] = generate
-        return generate
+        self._generate_cache[key] = run
+        return run
 
     # -- host-side helpers --------------------------------------------------
     @staticmethod
@@ -321,8 +327,10 @@ class SpeakerAgent:
                     f"consecutive batches ({len(records)}/{n} records) — "
                     "the checkpoint likely decodes EOS immediately; train "
                     "longer or raise --aug_temperature")
-            take = min(batch_size, n - len(records))
-            walks = self.sample_walks(rng, take, min_hops, max_hops)
+            # Always sample full batches: a shape-changing final partial batch
+            # would trigger a fresh jit compile of ``gen``; surplus decoded
+            # records are truncated host-side below.
+            walks = self.sample_walks(rng, batch_size, min_hops, max_hops)
             arrays = rt.teacher_rollout_arrays(
                 walks["scans"], np.asarray(walks["start_rows"], np.int32),
                 np.asarray(walks["start_views"], np.int32),
@@ -333,6 +341,8 @@ class SpeakerAgent:
             texts = self.decode_words(tokenizer, ids)
             before = len(records)
             for i, text in enumerate(texts):
+                if len(records) >= n:
+                    break
                 if not text:
                     continue
                 # Recover the visited path from the teacher arrays.

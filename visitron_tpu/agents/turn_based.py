@@ -101,8 +101,7 @@ class TurnBasedAgent:
             batch = shard_batch(self.mesh, batch)
         return batch
 
-    def _episode_loss(self, params, batch, rng, deterministic):
-        rt = self.runtime
+    def _episode_loss(self, rt, params, batch, rng, deterministic):
         ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
         rng, enc_rng = jax.random.split(rng)
         ctx, h_t, c_t = self.encoder.apply(
@@ -146,10 +145,10 @@ class TurnBasedAgent:
     def train_step_fn(self):
         if self._train_step is None:
             @functools.partial(jax.jit, donate_argnums=(0,))
-            def train_step(state, batch):
+            def train_step(state, batch, rt):
                 rng, step_rng = jax.random.split(state["rng"])
                 loss, grads = jax.value_and_grad(
-                    lambda p: self._episode_loss(p, batch, step_rng, False)
+                    lambda p: self._episode_loss(rt, p, batch, step_rng, False)
                 )(state["params"])
                 updates, opt_state = self.optimizer.update(
                     grads, state["opt_state"], state["params"])
@@ -157,18 +156,19 @@ class TurnBasedAgent:
                 return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
             def run(state, batch):
-                return train_step(state, self._place_batch(batch))
+                return train_step(state, self._place_batch(batch), self.runtime)
 
             self._train_step = run
         return self._train_step
 
     def eval_loss_fn(self, use_dropout: bool = False):
         @jax.jit
-        def eval_loss(params, batch, rng):
-            return self._episode_loss(params, batch, rng, not use_dropout)
+        def eval_loss(params, batch, rng, rt):
+            return self._episode_loss(rt, params, batch, rng, not use_dropout)
 
         def run(params, batch, rng):
-            return eval_loss(params, ViewpointAgent.trim_batch(batch), rng)
+            return eval_loss(params, ViewpointAgent.trim_batch(batch), rng,
+                             self.runtime)
 
         return run
 
@@ -176,10 +176,9 @@ class TurnBasedAgent:
     def _student_step_fn(self, feedback: str, deterministic: bool):
         key = (feedback, deterministic)
         if key not in self._student_step:
-            rt = self.runtime
-
             @jax.jit
-            def step(dec_params, h, c, a_prev, ctx, ctx_mask, cur_row, view, fwd_ok, rng):
+            def step(rt, dec_params, h, c, a_prev, ctx, ctx_mask, cur_row,
+                     view, fwd_ok, rng):
                 f_t = rt.feats[cur_row, view]
                 dropout_rng, sample_rng = jax.random.split(rng)
                 h_new, c_new, _, logit = self.decoder.apply(
@@ -233,9 +232,9 @@ class TurnBasedAgent:
             fwd_ok = np.array([len(rt.navigable_at(int(rows[i]), int(views[i]))) > 0
                                for i in range(b)])
             rng, step_rng = jax.random.split(rng)
-            a, h, c = step_fn(params["decoder"], h, c, jnp.asarray(a_prev), ctx,
-                              ctx_mask, jnp.asarray(rows), jnp.asarray(views),
-                              jnp.asarray(fwd_ok), step_rng)
+            a, h, c = step_fn(rt, params["decoder"], h, c, jnp.asarray(a_prev),
+                              ctx, ctx_mask, jnp.asarray(rows),
+                              jnp.asarray(views), jnp.asarray(fwd_ok), step_rng)
             a = np.asarray(a)
             for i in range(b):
                 if ended[i]:

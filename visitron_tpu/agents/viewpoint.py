@@ -107,6 +107,7 @@ class ViewpointAgent:
         self._train_step = None
         self._encode = {}
         self._student_step = {}
+        self._rt_placed = None
         self.results: dict = {}
 
     # -- parameter init ------------------------------------------------------
@@ -182,9 +183,10 @@ class ViewpointAgent:
             self._encode[deterministic] = encode
         return self._encode[deterministic]
 
-    def _episode_loss(self, params, batch, rng, deterministic):
-        """Encoder + scanned teacher-forced decode; returns mean loss."""
-        rt = self.runtime
+    def _episode_loss(self, rt, params, batch, rng, deterministic):
+        """Encoder + scanned teacher-forced decode; returns mean loss.
+        ``rt`` arrives as a pytree jit argument (never a closure: closure
+        constants embed the world tables into every lowered program)."""
         ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
         rng, enc_rng = jax.random.split(rng)
         ctx, h_t, c_t = self.encoder.apply(
@@ -222,7 +224,7 @@ class ViewpointAgent:
         (_, _), step_losses = jax.lax.scan(step, (h_t, c_t), xs)
         return jnp.sum(step_losses) / t_len  # agent.py:472
 
-    def _sampled_episode_loss(self, params, batch, rng, deterministic,
+    def _sampled_episode_loss(self, rt, params, batch, rng, deterministic,
                               feedback: str = "sample"):
         """Student-forced (sample/argmax) episode, FULLY on device.
 
@@ -233,7 +235,6 @@ class ViewpointAgent:
         .sample_rollout_arrays), so the whole rollout — sampling, state
         transitions, supervision — runs inside one jitted lax.scan.
         """
-        rt = self.runtime
         ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
         rng, enc_rng = jax.random.split(rng)
         ctx, h_t, c_t = self.encoder.apply(
@@ -295,6 +296,27 @@ class ViewpointAgent:
         (_, _, final_row, _, _, _), step_losses = jax.lax.scan(step, init, step_rngs)
         return jnp.sum(step_losses) / t_len
 
+    def step_runtime(self):
+        """Runtime tables for the (possibly mesh-sharded) train step.
+
+        The tables enter the jitted step as ARGUMENTS (see NavRuntime's
+        pytree registration); on a mesh they must be globally replicated
+        arrays — single-host via device_put, multi-host by assembling each
+        host's identical copy into one global array."""
+        if self.mesh is None:
+            return self.runtime
+        if self._rt_placed is None:
+            from visitron_tpu.parallel import replicated_sharding
+
+            sh = replicated_sharding(self.mesh)
+            if jax.process_count() > 1:
+                place = lambda x: jax.make_array_from_process_local_data(
+                    sh, np.asarray(x))
+            else:
+                place = lambda x: jax.device_put(x, sh)
+            self._rt_placed = jax.tree.map(place, self.runtime)
+        return self._rt_placed
+
     def _place_batch(self, batch: dict) -> dict:
         """Length-bucket the batch and, when training on a mesh, shard it over
         the dp axis (params stay replicated; the SPMD partitioner inserts the
@@ -309,7 +331,7 @@ class ViewpointAgent:
             batch = shard_batch(self.mesh, batch)
         return batch
 
-    def _rl_episode_loss(self, params, batch, rng, deterministic,
+    def _rl_episode_loss(self, rt, params, batch, rng, deterministic,
                          gamma: float = 0.9, ml_weight: float = 0.05,
                          entropy_weight: float = 0.01,
                          success_margin: float = 3.0,
@@ -324,7 +346,6 @@ class ViewpointAgent:
         (EnvDrop-style ML+RL).  Everything — sampling, transitions, rewards,
         supervision — runs inside one jitted lax.scan.
         """
-        rt = self.runtime
         ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
         rng, enc_rng = jax.random.split(rng)
         ctx, h_t, c_t = self.encoder.apply(
@@ -415,12 +436,12 @@ class ViewpointAgent:
                          entropy_weight: float = 0.01):
         """A2C train step (requires ``init_state(with_critic=True)``)."""
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, batch):
+        def train_step(state, batch, rt):
             rng, step_rng = jax.random.split(state["rng"])
 
             def loss_fn(p):
                 return self._rl_episode_loss(
-                    p, batch, step_rng, False, gamma=gamma,
+                    rt, p, batch, step_rng, False, gamma=gamma,
                     ml_weight=ml_weight, entropy_weight=entropy_weight)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -431,7 +452,8 @@ class ViewpointAgent:
             return {"params": params, "opt_state": opt_state, "rng": rng}, (loss, aux)
 
         def run(state, batch):
-            return train_step(state, self._place_batch(batch))
+            return train_step(state, self._place_batch(batch),
+                              self.step_runtime())
 
         return run
 
@@ -440,11 +462,12 @@ class ViewpointAgent:
         --feedback_method sample; extended strategies topk/nucleus/
         temperature/penalty per utils.py:381-427)."""
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
-        def train_step(state, batch):
+        def train_step(state, batch, rt):
             rng, step_rng = jax.random.split(state["rng"])
 
             def loss_fn(p):
-                return self._sampled_episode_loss(p, batch, step_rng, False, feedback)
+                return self._sampled_episode_loss(rt, p, batch, step_rng, False,
+                                                  feedback)
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
             updates, opt_state = self.optimizer.update(
@@ -453,7 +476,8 @@ class ViewpointAgent:
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
         def run(state, batch):
-            return train_step(state, self._place_batch(batch))
+            return train_step(state, self._place_batch(batch),
+                              self.step_runtime())
 
         return run
 
@@ -462,11 +486,12 @@ class ViewpointAgent:
             return self._train_step
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, batch):
+        def train_step(state, batch, rt):
             rng, step_rng = jax.random.split(state["rng"])
 
             def loss_fn(p):
-                return self._episode_loss(p, batch, step_rng, deterministic=False)
+                return self._episode_loss(rt, p, batch, step_rng,
+                                          deterministic=False)
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
             updates, opt_state = self.optimizer.update(
@@ -475,22 +500,31 @@ class ViewpointAgent:
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
         def run(state, batch):
-            return train_step(state, self._place_batch(batch))
+            return train_step(state, self._place_batch(batch),
+                              self.step_runtime())
 
         # Raw jit handle for cost analysis (bench.py lowers it for FLOPs/MFU).
         self._train_step_jit = train_step
         self._train_step = run
         return self._train_step
 
+    def train_step_jit(self):
+        """Public handle to the raw jitted teacher-forced train step (no
+        host-side batch placement) — for AOT lowering/compilation (bench cost
+        analysis, multihost compile-before-barrier)."""
+        self.train_step_fn()
+        return self._train_step_jit
+
     def eval_loss_fn(self, use_dropout: bool = False):
         """Validation loss with teacher forcing (test(use_dropout=True,
         feedback='teacher', allow_cheat=True) parity, train.py:318-320)."""
         @jax.jit
-        def eval_loss(params, batch, rng):
-            return self._episode_loss(params, batch, rng, deterministic=not use_dropout)
+        def eval_loss(params, batch, rng, rt):
+            return self._episode_loss(rt, params, batch, rng,
+                                      deterministic=not use_dropout)
 
         def run(params, batch, rng):
-            return eval_loss(params, self.trim_batch(batch), rng)
+            return eval_loss(params, self.trim_batch(batch), rng, self.runtime)
 
         return run
 
@@ -499,11 +533,10 @@ class ViewpointAgent:
         key = (feedback, deterministic)
         if key in self._student_step:
             return self._student_step[key]
-        rt = self.runtime
 
         @jax.jit
-        def step(dec_params, h1, c, ctx, ctx_mask, cur_row, view, visited_mask,
-                 taken_mask, rng):
+        def step(rt, dec_params, h1, c, ctx, ctx_mask, cur_row, view,
+                 visited_mask, taken_mask, rng):
             a_t, f_t, cand_feat, cand_mask = gather_step_inputs(rt, cur_row, view)
             dropout_rng, sample_rng = jax.random.split(rng)
             h_new, c_new, logit, h_tilde = self.decoder.apply(
@@ -526,10 +559,9 @@ class ViewpointAgent:
         key = ("device_rollout", feedback)
         if key in self._student_step:
             return self._student_step[key]
-        rt = self.runtime
 
         @jax.jit
-        def rollout(params, ids, segs, lengths, start_rows, start_views, rng):
+        def rollout(rt, params, ids, segs, lengths, start_rows, start_views, rng):
             ctx, h_t, c_t = self.encoder.apply(
                 params["encoder"], ids, lengths, token_type_ids=segs,
                 deterministic=True)
@@ -575,7 +607,7 @@ class ViewpointAgent:
         batch = self.trim_batch(batch)
         rollout = self._device_rollout_fn(feedback)
         rows, views, moved = rollout(
-            params, jnp.asarray(batch["ids"]), jnp.asarray(batch["segs"]),
+            self.runtime, params, jnp.asarray(batch["ids"]), jnp.asarray(batch["segs"]),
             jnp.asarray(batch["lengths"]), jnp.asarray(batch["start_rows"]),
             jnp.asarray(batch["start_views"]), rng)
         rows, views, moved = np.asarray(rows), np.asarray(views), np.asarray(moved)
@@ -639,7 +671,7 @@ class ViewpointAgent:
                             visited_mask[i, slot] = True
             rng, step_rng = jax.random.split(rng)
             a, h1, c, _ = step_fn(
-                params["decoder"], h1, c, ctx, ctx_mask_j,
+                self.runtime, params["decoder"], h1, c, ctx, ctx_mask_j,
                 jnp.asarray(rows), jnp.asarray(views), jnp.asarray(visited_mask),
                 jnp.asarray(taken_mask), step_rng)
             a = np.asarray(a)

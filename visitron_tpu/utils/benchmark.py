@@ -46,41 +46,56 @@ def stack_batches(batches: list) -> dict:
 
 
 def time_step_fn(step_fn: Callable, state, stacked_batches, *, n_lo: int = 5,
-                 n_hi: int = 25, repeats: int = 3) -> float:
+                 n_hi: int = 25, repeats: int = 3, detail: bool = False,
+                 extra_args: tuple = ()):
     """Per-step milliseconds of ``step_fn(state, batch) -> (state, scalar)``.
 
     ``stacked_batches``: pytree whose leaves carry a leading "batch pool" dim;
     iteration i uses pool entry ``i % pool``.  The loop runs on device inside
     one jit; per-step time = (t(n_hi) - t(n_lo)) / (n_hi - n_lo), min over
     ``repeats`` (min is the right statistic for a quiet-device estimate).
+
+    ``detail=True`` additionally returns the per-repeat window estimates
+    (each repeat's t_hi against the best t_lo) so callers can report spread —
+    the remote-relay chip carries ~±25% external-load variance between
+    windows, and the official bench records best + spread.
+
+    ``extra_args``: additional pytrees passed through to
+    ``step_fn(state, batch, *extra_args)`` as TRACED loop arguments — use for
+    device-resident tables (e.g. NavRuntime) so they are never embedded in
+    the loop program as HLO constants.
     """
     pool = jax.tree.leaves(stacked_batches)[0].shape[0]
 
     import functools
 
     @functools.partial(jax.jit, static_argnums=2)
-    def loop(state, batches, n):
+    def loop(state, batches, n, *extra):
         def body(i, carry):
             state, _ = carry
             batch = jax.tree.map(lambda x: x[i % pool], batches)
-            return step_fn(state, batch)
+            return step_fn(state, batch, *extra)
 
         zero = jnp.zeros((), jnp.float32)
         state, last = jax.lax.fori_loop(0, n, body, (state, zero))
         return jnp.asarray(last, jnp.float32)
 
     def run(n):
-        best = float("inf")
+        times = []
         # compile + warm
-        float(loop(state, stacked_batches, n))
+        float(loop(state, stacked_batches, n, *extra_args))
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(loop(state, stacked_batches, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            float(loop(state, stacked_batches, n, *extra_args))
+            times.append(time.perf_counter() - t0)
+        return times
 
-    t_lo, t_hi = run(n_lo), run(n_hi)
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+    t_lo = min(run(n_lo))
+    t_his = run(n_hi)
+    windows = [max(t - t_lo, 1e-9) / (n_hi - n_lo) * 1000.0 for t in t_his]
+    if detail:
+        return min(windows), windows
+    return min(windows)
 
 
 def time_fn(fn: Callable, *args, n_lo: int = 5, n_hi: int = 25,
