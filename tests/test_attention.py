@@ -129,6 +129,93 @@ def test_flash_dropout_grads_consistent():
     check_grads(f, (q, k, v), order=1, modes=["rev"], rtol=0.01)
 
 
+def test_fused_matches_jnp_attention():
+    """Small-S single-pass kernel (interpret) == jnp attention, padded keys,
+    multiple heads per program (h=4, hpb divides h)."""
+    from visitron_tpu.ops.attention import fused_attention
+
+    rng = np.random.default_rng(5)
+    b, h, s, d = 2, 4, 256, 64
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    keep = np.ones((b, s), np.float32)
+    keep[0, 200:] = 0.0
+    keep[1, 64:] = 0.0
+    key_bias = (1.0 - keep) * NEG_INF
+    ref = multi_head_attention(q, k, v, bias=jnp.asarray(key_bias)[:, None, None, :])
+    got = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          jnp.asarray(key_bias), None, 0.0, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_grad_matches_jnp():
+    """Single-kernel backward (dq/dk/dv in one program) == jnp gradients."""
+    from visitron_tpu.ops.attention import fused_attention
+
+    rng = np.random.default_rng(6)
+    b, h, s, d = 1, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    keep = np.ones((b, s), np.float32)
+    keep[0, 100:] = 0.0
+    key_bias = jnp.asarray((1.0 - keep) * NEG_INF)
+
+    def loss_fused(q, k, v):
+        return fused_attention(q, k, v, key_bias, None, 0.0, True).sum()
+
+    def loss_ref(q, k, v):
+        return multi_head_attention(q, k, v,
+                                    bias=key_bias[:, None, None, :]).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_dropout_matches_masked_reference():
+    """Fused-dropout fwd+bwd vs a jnp reference applying the SAME
+    reconstructed (seed, position)-hash mask."""
+    from visitron_tpu.ops.attention import (_keep_mask, _threshold,
+                                            fused_attention)
+
+    rng = np.random.default_rng(7)
+    b, h, s, d = 1, 2, 128, 64
+    rate, seed = 0.4, jnp.int32(13)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    bias = jnp.zeros((b, s), jnp.float32)
+    masks = []
+    for bh in range(b * h):
+        seed_mix = (jnp.uint32(13) ^ (jnp.uint32(bh) * jnp.uint32(0xC2B2AE3D)))
+        masks.append(np.asarray(_keep_mask(seed_mix, 0, 0, (s, s),
+                                           _threshold(rate))))
+    mask = jnp.asarray(np.stack(masks).reshape(b, h, s, s))
+
+    def ref_loss(q, k, v):
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(d), -1)
+        p = jnp.where(mask, p, 0.0) / (1.0 - rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v).sum()
+
+    def fused_loss(q, k, v):
+        return fused_attention(q, k, v, bias, seed, rate, True).sum()
+
+    np.testing.assert_allclose(np.asarray(fused_loss(q, k, v)),
+                               np.asarray(ref_loss(q, k, v)), rtol=2e-4)
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4)
+
+
 def test_flash_dropout_bwd_matches_masked_reference():
     """Extract the kernel's dropout mask (via indicator values), then compare
     flash gradients against a jnp reference applying the SAME mask."""

@@ -101,6 +101,7 @@ class RunConfig:
     mesh_tp: int = 1
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
+    use_fused_attention: bool = True   # Pallas small-S single-pass kernel (TPU)
     remat: bool = False                # rematerialize BERT layers in bwd
                                        # (activation memory ~ O(layers) less;
                                        # enables batch scaling beyond HBM)

@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from visitron_tpu.ops.attention import (attention_supports_flash,
-                                        flash_attention, multi_head_attention)
+                                        attention_supports_fused,
+                                        flash_attention, fused_attention,
+                                        multi_head_attention)
 from visitron_tpu.ops.masking import make_attention_bias
 
 
@@ -52,6 +54,12 @@ class BertConfig:
     # tiles (TPU, lengths % 128, head_dim 64/128); training dropout is fused
     # into the kernels.  Otherwise the XLA-fused jnp path runs.
     use_flash_attention: bool = False
+    # Small-S single-pass Pallas kernel (one program per head-block, fused
+    # dropout, single-kernel backward) for self-attention at S <= 1024 on
+    # TPU — beats the XLA path at this framework's production shapes when
+    # dropout is active (ops/attention.py measurements).  Auto-gated by
+    # attention_supports_fused; off-TPU and odd shapes fall through.
+    use_fused_attention: bool = True
     # Rematerialize each transformer layer in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(layers) less activation
     # memory — enables batch scaling beyond HBM.
@@ -126,13 +134,27 @@ class BertSelfAttention(nn.Module):
             k, v = jnp.split(kv, 2, axis=-1)
         split = lambda x: x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
         k_len = kv_in.shape[1]
+        key_bias_ok = (bias is not None and bias.ndim == 4
+                       and bias.shape[1] == 1 and bias.shape[2] == 1)
+        use_fused = (
+            cfg.use_fused_attention and key_bias_ok
+            and history_state is None
+            and attention_supports_fused(q_len, k_len, d, b, h)
+        )
         use_flash = (
-            cfg.use_flash_attention
-            and bias is not None and bias.ndim == 4
-            and bias.shape[1] == 1 and bias.shape[2] == 1
+            not use_fused
+            and cfg.use_flash_attention and key_bias_ok
             and attention_supports_flash(q_len, k_len, d)
         )
-        if use_flash:
+        if use_fused:
+            rate = 0.0 if deterministic else float(cfg.attention_probs_dropout_prob)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
+            ctx = fused_attention(split(q), split(k), split(v),
+                                  bias[:, 0, 0, :], seed, rate)
+        elif use_flash:
             # Training path included: attention-prob dropout is fused into the
             # kernels (mask recomputed in bwd from a position hash) — the
             # (B, H, Q, K) probability tensor never touches HBM.

@@ -108,5 +108,6 @@ class Workspace:
             detector_classes=cfg.detector_classes,
             dtype=jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32,
             use_flash_attention=cfg.use_flash_attention,
+            use_fused_attention=cfg.use_fused_attention,
             remat=cfg.remat,
         )
