@@ -208,3 +208,100 @@ def test_caffe_converter_structure():
     out = model.apply({"params": params},
                       jnp.zeros((32, 32, 3), jnp.float32))
     assert np.isfinite(np.asarray(out["features"])).all()
+
+
+# ---------------------------------------------------------------------------
+# tools/dump_caffemodel.py: protobuf wire-format round trip
+# ---------------------------------------------------------------------------
+
+def _pb_varint(v):
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _pb_field(num, wt, payload):
+    key = _pb_varint((num << 3) | wt)
+    if wt == 2:
+        return key + _pb_varint(len(payload)) + payload
+    return key + payload
+
+
+def _pb_blob(arr, legacy=False):
+    arr = np.asarray(arr, np.float32)
+    body = b""
+    if legacy:
+        dims = ([1] * (4 - arr.ndim)) + list(arr.shape)
+        for i, d in enumerate(dims, start=1):
+            body += _pb_field(i, 0, _pb_varint(d))
+    else:
+        shape = b"".join(_pb_field(1, 0, _pb_varint(d)) for d in arr.shape)
+        body += _pb_field(7, 2, shape)
+    body += _pb_field(5, 2, arr.ravel().tobytes())
+    return body
+
+
+def _pb_layer(name, ltype, blobs, v1=False):
+    if v1:
+        body = _pb_field(4, 2, name.encode())
+        body += _pb_field(5, 0, _pb_varint({"Convolution": 4,
+                                            "InnerProduct": 14}[ltype]))
+        body += b"".join(_pb_field(6, 2, _pb_blob(b, legacy=True)) for b in blobs)
+        return _pb_field(2, 2, body)
+    body = _pb_field(1, 2, name.encode())
+    body += _pb_field(2, 2, ltype.encode())
+    body += b"".join(_pb_field(7, 2, _pb_blob(b)) for b in blobs)
+    return _pb_field(100, 2, body)
+
+
+def test_dump_caffemodel_wire_roundtrip():
+    """A synthetic NetParameter byte stream (new + legacy V1 layers, BN scale
+    factor, packed shapes) parses into exactly the dump layout
+    convert_caffe_bottomup consumes."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_caffemodel",
+        os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                     "dump_caffemodel.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(0)
+    w_conv = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+    b_conv = rng.normal(size=8).astype(np.float32)
+    bn_mean = rng.normal(size=8).astype(np.float32)
+    bn_var = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    sc_w = rng.normal(size=8).astype(np.float32)
+    sc_b = rng.normal(size=8).astype(np.float32)
+    w_fc = rng.normal(size=(4, 8)).astype(np.float32)
+    b_fc = rng.normal(size=4).astype(np.float32)
+
+    raw = b"".join([
+        _pb_layer("res2a_branch2a", "Convolution", [w_conv, b_conv]),
+        # caffe BN: blobs (mean, var, scale_factor) — stats divided by factor.
+        _pb_layer("bn2a_branch2a", "BatchNorm",
+                  [bn_mean * 2.0, bn_var * 2.0, np.array([2.0], np.float32)]),
+        _pb_layer("scale2a_branch2a", "Scale", [sc_w, sc_b]),
+        _pb_layer("relu1", "ReLU", []),
+        _pb_layer("cls_score", "InnerProduct", [w_fc, b_fc], v1=True),
+    ])
+    layers = mod.parse_caffemodel(raw)
+    assert [n for n, _, _ in layers] == [
+        "res2a_branch2a", "bn2a_branch2a", "scale2a_branch2a", "cls_score"]
+    dump = mod.to_dump(layers)
+    np.testing.assert_array_equal(dump["res2a_branch2a.weight"], w_conv)
+    np.testing.assert_array_equal(dump["res2a_branch2a.bias"], b_conv)
+    np.testing.assert_allclose(dump["bn2a_branch2a.mean"], bn_mean, rtol=1e-6)
+    np.testing.assert_allclose(dump["bn2a_branch2a.var"], bn_var, rtol=1e-6)
+    np.testing.assert_array_equal(dump["scale2a_branch2a.weight"], sc_w)
+    np.testing.assert_array_equal(dump["scale2a_branch2a.bias"], sc_b)
+    # V1 legacy layer: leading 1-dims stripped -> torch-style (out, in).
+    np.testing.assert_array_equal(dump["cls_score.weight"], w_fc)
+    np.testing.assert_array_equal(dump["cls_score.bias"], b_fc)

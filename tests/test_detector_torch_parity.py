@@ -206,6 +206,134 @@ def test_rpn_and_heads_match_torch(dump, det, image):
     assert logits.shape[1] == 24
 
 
+def test_generate_anchors_pyfasterrcnn_golden():
+    """Anchor enumeration must reproduce py-faster-rcnn's generate_anchors()
+    actual output for the canonical base 16 / ratios (0.5, 1, 2) /
+    scales (8, 16, 32) config.  (The array printed in the upstream docstring
+    is famously +1 off from what the code computes — these are the values the
+    shipped code, and every model trained with it, actually used.)"""
+    from visitron_tpu.models.detector import generate_anchors
+
+    golden = np.array([
+        [-84., -40., 99., 55.],
+        [-176., -88., 191., 103.],
+        [-360., -184., 375., 199.],
+        [-56., -56., 71., 71.],
+        [-120., -120., 135., 135.],
+        [-248., -248., 263., 263.],
+        [-36., -80., 51., 95.],
+        [-80., -168., 95., 183.],
+        [-168., -344., 183., 359.],
+    ], np.float32)
+    got = generate_anchors(16, (0.5, 1.0, 2.0), (8, 16, 32))
+    np.testing.assert_array_equal(got, golden)
+
+
+def _numpy_nms(boxes, scores, thresh):
+    """Independent greedy NMS (py-faster-rcnn cpu_nms semantics)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(0.0, xx2 - xx1 + 1) * np.maximum(0.0, yy2 - yy1 + 1)
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][iou <= thresh]
+    return keep
+
+
+def test_proposal_pipeline_matches_numpy_reference(dump, det, image):
+    """End-to-end proposal parity: RPN outputs from the INDEPENDENT torch
+    backbone, decoded/clipped/filtered/NMS'd with plain numpy following the
+    published py-faster-rcnn proposal_layer math, must reproduce the flax
+    model's static-shape selected boxes and objectness scores."""
+    from visitron_tpu.models.detector import (BBOX_XFORM_CLIP, RPN_MIN_SIZE,
+                                              RPN_NMS_THRESH, shifted_anchors)
+
+    out = {k: np.asarray(v) for k, v in
+           det.model.apply(det.params, jnp.asarray(image)).items()}
+
+    feat = torch_backbone(dump, image)
+    x = _t(np.ascontiguousarray(feat.transpose(2, 0, 1))[None])
+    rpn = F.relu(F.conv2d(x, _t(dump["rpn_conv/3x3.weight"]),
+                          bias=_t(dump["rpn_conv/3x3.bias"]), padding=1))
+    logits = F.conv2d(rpn, _t(dump["rpn_cls_score.weight"]),
+                      bias=_t(dump["rpn_cls_score.bias"]))[0].numpy()
+    deltas = F.conv2d(rpn, _t(dump["rpn_bbox_pred.weight"]),
+                      bias=_t(dump["rpn_bbox_pred.bias"]))[0].numpy()
+    fh, fw = feat.shape[:2]
+    a = 12
+    logits = logits.transpose(1, 2, 0).reshape(fh * fw * a, 2)
+    e = np.exp(logits - logits.max(-1, keepdims=True))  # stable softmax
+    obj = e[:, 1] / e.sum(-1)
+    d = deltas.transpose(1, 2, 0).reshape(fh * fw * a, 4)
+
+    # bbox_transform_inv + clip + min-size (plain numpy)
+    anchors = shifted_anchors(fh, fw)
+    w = anchors[:, 2] - anchors[:, 0] + 1
+    h = anchors[:, 3] - anchors[:, 1] + 1
+    cx, cy = anchors[:, 0] + 0.5 * w, anchors[:, 1] + 0.5 * h
+    pcx, pcy = d[:, 0] * w + cx, d[:, 1] * h + cy
+    pw = np.exp(np.minimum(d[:, 2], BBOX_XFORM_CLIP)) * w
+    ph = np.exp(np.minimum(d[:, 3], BBOX_XFORM_CLIP)) * h
+    boxes = np.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                      pcx + 0.5 * pw - 1, pcy + 0.5 * ph - 1], axis=1)
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, IMG - 1)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, IMG - 1)
+    valid = ((boxes[:, 2] - boxes[:, 0] + 1 >= RPN_MIN_SIZE)
+             & (boxes[:, 3] - boxes[:, 1] + 1 >= RPN_MIN_SIZE))
+    obj, boxes = obj[valid], boxes[valid]
+    top = np.argsort(-obj, kind="stable")[:PRE_NMS]
+    keep = _numpy_nms(boxes[top], obj[top], RPN_NMS_THRESH)[:NUM_ROIS]
+
+    live = out["scores"] > np.finfo(np.float32).min / 2
+    assert live.sum() == len(keep)
+    np.testing.assert_allclose(out["boxes"][live], boxes[top][keep],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(out["scores"][live], obj[top][keep],
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_full_scale_parity():
+    """The PRODUCTION graph — ResNet-101, 1601 classes, 401 attributes,
+    production NMS budget — end-to-end vs the torch replica with identical
+    random caffe-layout weights.  After this, the only unknown on the real
+    published VG .caffemodel is the bytes of the weight file itself."""
+    global DEPTH, C_CLS, C_ATTR, NUM_ROIS, PRE_NMS, IMG
+    saved = (DEPTH, C_CLS, C_ATTR, NUM_ROIS, PRE_NMS, IMG)
+    try:
+        DEPTH, C_CLS, C_ATTR, NUM_ROIS, PRE_NMS, IMG = 101, 1601, 401, 20, 300, 128
+        dump = _make_caffe_dump(np.random.default_rng(23))
+        det = BottomUpDetector.from_caffe_dump(
+            dump, depth=DEPTH, num_classes=C_CLS, num_attributes=C_ATTR,
+            num_rois=NUM_ROIS, pre_nms_top_n=PRE_NMS)
+        image = np.random.default_rng(29).uniform(
+            0, 1, (IMG, IMG, 3)).astype(np.float32)
+
+        # Backbone parity at full depth.
+        from visitron_tpu.models.detector import ConvBody
+
+        body = ConvBody(DEPTH, caffe_preproc=True, caffe_v1=True)
+        feat = np.asarray(body.apply(
+            {"params": det.params["params"]["body"]}, jnp.asarray(image)[None])[0])
+        ref = torch_backbone(dump, image)
+        assert feat.shape == ref.shape == (IMG // 16, IMG // 16, 1024)
+        np.testing.assert_allclose(feat, ref, rtol=2e-3, atol=2e-3)
+
+        # Proposal pipeline + pool5 + 1601/401 heads.
+        test_proposal_pipeline_matches_numpy_reference(dump, det, image)
+        test_rpn_and_heads_match_torch(dump, det, image)
+    finally:
+        DEPTH, C_CLS, C_ATTR, NUM_ROIS, PRE_NMS, IMG = saved
+
+
 def test_caffe_v1_differs_from_torch_style(dump, image):
     """The stride/pool conventions are not interchangeable — loading caffe
     weights into the torchvision-style graph must NOT reproduce (guards

@@ -294,11 +294,13 @@ class FasterRCNN(nn.Module):
         anchors = jnp.asarray(shifted_anchors(
             fh, fw, FEAT_STRIDE, self.anchor_ratios, self.anchor_scales))
         proposals = clip_boxes(decode_boxes(anchors, deltas), h, w)
-        # Drop tiny proposals (proposal_layer min_size filter).
+        # Drop tiny proposals (proposal_layer min_size filter).  Sentinel
+        # score (not -1.0): a filtered proposal that survives into the
+        # fixed-shape NMS output must read as padding, never as a live row.
         ws = proposals[:, 2] - proposals[:, 0] + 1
         hs = proposals[:, 3] - proposals[:, 1] + 1
         valid = (ws >= RPN_MIN_SIZE) & (hs >= RPN_MIN_SIZE)
-        obj = jnp.where(valid, obj, -1.0)
+        obj = jnp.where(valid, obj, jnp.finfo(jnp.float32).min)
         k = min(self.pre_nms_top_n, proposals.shape[0])
         top_scores, top_idx = jax.lax.top_k(obj, k)
         top_boxes = proposals[top_idx]
