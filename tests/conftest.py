@@ -45,6 +45,14 @@ import pytest  # noqa: E402
 # persistent compilation cache across tests and runs.
 import flax.linen as _nn  # noqa: E402
 
+# Eager fallbacks taken by the jit-routing wrapper below (e.g. non-jittable
+# outputs).  Counted and reported at session end so a sudden spike — a real
+# jit-incompatibility regression being silently masked — is visible.
+JIT_ROUTE_FALLBACKS: list[str] = []
+
+_ORIG_MODULE_INIT = _nn.Module.init
+_ORIG_MODULE_APPLY = _nn.Module.apply
+
 
 def _jit_entry(orig):
     def wrapper(self, *args, **kwargs):
@@ -61,7 +69,9 @@ def _jit_entry(orig):
 
         try:
             return jax.jit(inner)(dyn)
-        except Exception:
+        except Exception as e:
+            JIT_ROUTE_FALLBACKS.append(
+                f"{type(self).__name__}.{orig.__name__}: {type(e).__name__}")
             return orig(self, *args, **kwargs)  # e.g. non-jittable outputs
 
     return wrapper
@@ -69,6 +79,16 @@ def _jit_entry(orig):
 
 _nn.Module.init = _jit_entry(_nn.Module.init)
 _nn.Module.apply = _jit_entry(_nn.Module.apply)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if JIT_ROUTE_FALLBACKS:
+        from collections import Counter
+
+        counts = Counter(JIT_ROUTE_FALLBACKS)
+        terminalreporter.write_line(
+            "conftest jit-routing eager fallbacks: "
+            + ", ".join(f"{k} x{v}" for k, v in counts.most_common()))
 
 from visitron_tpu.testing import SyntheticWorld  # noqa: E402
 
