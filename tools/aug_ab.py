@@ -1,0 +1,157 @@
+"""Back-translation augmentation efficacy A/B on a learnable synthetic world.
+
+The plain SyntheticWorld's dialogs are random word salad, so language->action
+is unlearnable and --aug_data cannot help by construction.  This A/B uses
+``directional_language=True`` worlds (instructions describe the path as
+relative turn words), making generalization to HELD-OUT episodes meaningful:
+
+  1. train a speaker (trajectory -> instruction) on the train split;
+  2. caption sampled shortest-path walks -> R2R-format aug records
+     (exactly the `run.py speaker` / `augment` / `--aug_data` flow);
+  3. fine-tune the viewpoint follower with the SAME iteration budget on
+     (A) train only vs (B) train + aug;
+  4. report GP/SR/SPL/nDTW on held-out episodes for both arms.
+
+Prints one JSON line per evaluation; the final two lines are the A/B result.
+Usage: python tools/aug_ab.py [--iters 800] [--n-aug 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=800)
+    ap.add_argument("--speaker-iters", type=int, default=600)
+    ap.add_argument("--n-aug", type=int, default=300)
+    ap.add_argument("--train-episodes", type=int, default=150)
+    ap.add_argument("--val-episodes", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--episode-len", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from visitron_tpu.agents import NavRuntime, ViewpointAgent
+    from visitron_tpu.agents.batcher import NavEpisodeBatcher
+    from visitron_tpu.agents.speaker import (SpeakerAgent, build_aug_instances,
+                                             write_aug_records)
+    from visitron_tpu.data import (SceneFeatureTable, WordPieceTokenizer,
+                                   build_wordpiece_vocab)
+    from visitron_tpu.data.datasets import build_nav_instances
+    from visitron_tpu.evaluation import Evaluator
+    from visitron_tpu.models import BertConfig
+    from visitron_tpu.testing import SyntheticWorld
+    from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
+
+    feat_dim = 64
+    world = SyntheticWorld(seed=13, num_scans=3, viewpoints_per_scan=40,
+                           scene_feat_dim=feat_dim, dialog_turns=(0, 1),
+                           directional_language=True)
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    runtime = NavRuntime.build(world.graphs, table, device_dtype=jnp.bfloat16)
+    tok = WordPieceTokenizer(build_wordpiece_vocab(
+        [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=1024))
+    with tempfile.TemporaryDirectory() as d:
+        world.write_task_data(d, counts={"train": args.train_episodes,
+                                         "val_unseen": args.val_episodes})
+        train_inst = build_nav_instances(d, ["train"], tok,
+                                         max_seq_length=args.seq)
+        val_inst = build_nav_instances(d, ["val_unseen"], tok,
+                                       max_seq_length=args.seq)
+
+    cfg = BertConfig(vocab_size=len(tok), hidden_size=128, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=256,
+                     max_position_embeddings=args.seq, type_vocab_size=4,
+                     dtype=jnp.bfloat16)
+    evaluator = Evaluator([it.raw for it in val_inst], world.graphs,
+                          path_type="planner_path")
+
+    def make_agent():
+        return ViewpointAgent(cfg, runtime, feature_dim=feat_dim,
+                              episode_len=args.episode_len, rnn_dim=128,
+                              encoder_hidden_size=128, aemb=32,
+                              max_seq_length=args.seq, learning_rate=1e-4)
+
+    def evaluate(agent, params, tag):
+        vb = NavEpisodeBatcher(val_inst, runtime, batch_size=args.batch,
+                               path_type="planner_path")
+        results = agent.test(params, vb.eval_batches(), feedback="argmax")
+        scored = {k: v for k, v in results.items() if k in evaluator.instr_ids}
+        summary, _ = evaluator.score_results(scored)
+        line = {"tag": tag,
+                "gp": round(summary["dist_to_end_reduction"], 3),
+                "sr": round(summary["success_rate"], 3),
+                "spl": round(summary["spl"], 3),
+                "ndtw": round(summary["ndtw"], 3)}
+        print(json.dumps(line), flush=True)
+        return line
+
+    # -- speaker training + augmentation -------------------------------------
+    sp = SpeakerAgent(runtime=runtime, feature_dim=feat_dim,
+                      vocab_size=len(tok), bos_id=tok.vocab[tok.cls_token],
+                      eos_id=tok.vocab[tok.sep_token],
+                      pad_id=tok.pad_token_id, episode_len=args.episode_len,
+                      max_words=48, hidden_size=128, wemb=64,
+                      learning_rate=1e-3)
+    sp_batcher = NavEpisodeBatcher(train_inst, runtime, batch_size=args.batch,
+                                   path_type="planner_path")
+    text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i)
+                   for i in train_inst}
+    sp_state = sp.init_state()
+    sp_step = sp.train_step_fn()
+    for it, batch in enumerate(sp_batcher.train_batches(
+            args.speaker_iters, episode_len=args.episode_len), 1):
+        sp_state, loss = sp_step(sp_state, sp.attach_words(batch, tok, text_by_idx))
+        if it % 100 == 0:
+            print(json.dumps({"tag": "speaker", "step": it,
+                              "word_ce": round(float(loss), 4)}), flush=True)
+
+    records = sp.augment(sp_state["params"], tok, np.random.default_rng(3),
+                         args.n_aug, min_hops=2,
+                         max_hops=args.episode_len - 2)
+    with tempfile.TemporaryDirectory() as d:
+        aug_path = os.path.join(d, "aug.json")
+        write_aug_records(records, aug_path)
+        aug_inst = build_aug_instances(aug_path, tok, max_seq_length=args.seq)
+    print(json.dumps({"tag": "aug", "records": len(records),
+                      "instances": len(aug_inst)}), flush=True)
+
+    # -- the two arms, same budget --------------------------------------------
+    results = {}
+    for tag, instances in (("baseline", train_inst),
+                           ("aug", train_inst + aug_inst)):
+        agent = make_agent()
+        batcher = NavEpisodeBatcher(instances, runtime, batch_size=args.batch,
+                                    path_type="planner_path", seed=88)
+        state = agent.init_state()
+        step = agent.train_step_fn()
+        for i, batch in enumerate(batcher.train_batches(
+                args.iters, episode_len=args.episode_len)):
+            jb = {k: np.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, list)}
+            state, loss = step(state, jb)
+            if (i + 1) % 200 == 0:
+                print(json.dumps({"tag": f"train_{tag}", "step": i + 1,
+                                  "loss": round(float(loss), 4)}), flush=True)
+        results[tag] = evaluate(agent, state["params"], f"val_{tag}")
+
+    delta = {k: round(results["aug"][k] - results["baseline"][k], 3)
+             for k in ("gp", "sr", "spl", "ndtw")}
+    print(json.dumps({"tag": "delta_aug_minus_baseline", **delta}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

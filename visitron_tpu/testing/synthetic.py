@@ -48,7 +48,13 @@ class SyntheticWorld:
         regions_per_view: int = 5,
         dialog_turns: tuple[int, int] = (1, 4),
         words_per_turn: tuple[int, int] = (4, 12),
+        directional_language: bool = False,
     ):
+        # ``directional_language``: dialogs/instructions DESCRIBE the path
+        # (relative turn words derived from the graph geometry) instead of
+        # random word salad — language -> action becomes learnable, making
+        # generalization and augmentation studies meaningful on this world.
+        self.directional_language = directional_language
         self.rng = np.random.default_rng(seed)
         self.dialog_turns = dialog_turns
         self.words_per_turn = words_per_turn
@@ -121,6 +127,31 @@ class SyntheticWorld:
         k = int(self.rng.integers(lo, hi))
         return " ".join(self.rng.choice(_WORDS, size=k))
 
+    def _directional_sentence(self, g: NavGraph, path_idx: list[int],
+                              start_heading: float) -> str:
+        """Relative turn-by-turn description of ``path_idx`` from
+        ``start_heading``, using the framework's heading convention
+        (pi/2 - atan2(dy, dx), candidates.py:77).  Vocabulary is restricted
+        to _WORDS so tokenizers built from the standard corpus cover it."""
+        words = ["go"]
+        prev = start_heading
+        for a, b in zip(path_idx[:-1], path_idx[1:]):
+            d = g.positions[b] - g.positions[a]
+            heading = float(np.pi / 2.0 - np.arctan2(d[1], d[0])) % (2 * np.pi)
+            delta = (heading - prev + np.pi) % (2 * np.pi) - np.pi
+            if abs(delta) <= np.pi / 6:
+                words += ["straight"]
+            elif abs(delta) >= 5 * np.pi / 6:
+                words += ["turn", "around"]
+            elif delta > 0:
+                words += ["turn", "right"]
+            else:
+                words += ["turn", "left"]
+            words.append("then")
+            prev = heading
+        words += ["stop", "there"]
+        return " ".join(words)
+
     def _random_path(self, graph: NavGraph, min_len=3, max_len=8) -> list[int]:
         v = graph.num_viewpoints
         while True:
@@ -163,6 +194,17 @@ class SyntheticWorld:
                         "nav_idx": min(t, len(player) - 1),
                     }
                 )
+            # Drawn here to preserve the rng stream of pre-existing seeded
+            # worlds (the heading draw has always followed the dialog draws).
+            start_heading = float(self.rng.uniform(0, 2 * np.pi))
+            if self.directional_language:
+                # The LAST oracle turn carries the path description (left
+                # truncation keeps the latest turns, utils_data.py:287-314).
+                dialog.append({
+                    "message": self._directional_sentence(g, planner, start_heading),
+                    "role": "oracle",
+                    "nav_idx": len(player) - 1,
+                })
             items.append(
                 {
                     "inst_idx": start_idx + k,
@@ -173,7 +215,7 @@ class SyntheticWorld:
                     "player_path": [g.viewpoints[i] for i in player],
                     "nav_history": [g.viewpoints[i] for i in player],
                     "start_pano": {
-                        "heading": float(self.rng.uniform(0, 2 * np.pi)),
+                        "heading": start_heading,
                         "elevation": 0.0,
                         "pano": g.viewpoints[planner[0]],
                     },
@@ -188,13 +230,18 @@ class SyntheticWorld:
             scan = self.scans[int(self.rng.integers(len(self.scans)))]
             g = self.graphs[scan]
             path = self._random_path(g)
+            heading = float(self.rng.uniform(0, 2 * np.pi))
+            if self.directional_language:
+                instructions = [self._directional_sentence(g, path, heading)]
+            else:
+                instructions = [self._sentence(8, 20) for _ in range(3)]
             items.append(
                 {
                     "path_id": start_idx + k,
                     "scan": scan,
-                    "heading": float(self.rng.uniform(0, 2 * np.pi)),
+                    "heading": heading,
                     "path": [g.viewpoints[i] for i in path],
-                    "instructions": [self._sentence(8, 20) for _ in range(3)],
+                    "instructions": instructions,
                 }
             )
         return items
