@@ -1,0 +1,94 @@
+"""Feature-extraction throughput on the real TPU (BASELINE.md north star).
+
+Measures frames/s/chip with the on-device timing harness for both offline
+pipelines at production shapes:
+
+  * scene: ResNet-152 global-pool features over 36 panorama views at
+    640x480 (precompute_resnet_img_features.py:175-283 protocol; the
+    reference logs avg per-100-viewpoint wall time on a 4-GPU Pool,
+    :270-282, 329-331);
+  * regions: bottom-up Faster R-CNN ResNet-101 (1601 classes / 401
+    attributes, pre-NMS 6000, 20 ROIs — the reference clamps 1..20 boxes,
+    precompute_bottom-up_features.py:199-203) on a 600x600 image
+    (Caffe TEST.SCALE 600), per view.
+
+Weights are random (identical FLOPs/memory behavior to converted weights).
+Prints one JSON line per pipeline with frames/s/chip and projected hours for
+the full Matterport sweep (10,800 viewpoints x 36 views — the reference's
+own accounting at :410-420).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MATTERPORT_VIEWPOINTS = 10_800
+VIEWS = 36
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from visitron_tpu.utils.benchmark import time_fn
+
+    device = jax.devices()[0].device_kind
+
+    # -- scene features: ResNet-152 @ 36 x 640 x 480 -------------------------
+    from visitron_tpu.models.resnet import ResNet
+
+    model = ResNet(152)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3), jnp.bfloat16))
+
+    def scene_fwd(images):
+        return model.apply(params, images)
+
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (VIEWS, 480, 640, 3)), jnp.bfloat16)
+    ms = time_fn(scene_fwd, images, n_lo=3, n_hi=13)
+    fps = VIEWS / (ms / 1000.0)
+    total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
+    print(json.dumps({
+        "metric": "scene_feature_frames_per_sec_per_chip",
+        "value": round(fps, 1), "unit": "frames/s/chip",
+        "view_ms": round(ms / VIEWS, 3), "device": device,
+        "matterport_sweep_hours": round(total_h, 3),
+        "model": "resnet152_bf16_640x480x36",
+    }), flush=True)
+
+    # -- region features: bottom-up Faster R-CNN R101 @ 600x600 --------------
+    from visitron_tpu.models.detector import FasterRCNN
+
+    det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
+                     num_rois=20, pre_nms_top_n=6000,
+                     caffe_preproc=True, caffe_v1=True)
+    dparams = jax.jit(det.init)(
+        jax.random.PRNGKey(1), jnp.zeros((600, 600, 3), jnp.float32))
+    image = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (600, 600, 3)), jnp.float32)
+
+    def det_fwd(image):
+        out = det.apply(dparams, image)
+        return out["features"], out["cls_prob"], out["attr_prob"], out["boxes"]
+
+    ms = time_fn(det_fwd, image, n_lo=2, n_hi=10)
+    fps = 1000.0 / ms
+    total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
+    print(json.dumps({
+        "metric": "region_feature_frames_per_sec_per_chip",
+        "value": round(fps, 2), "unit": "frames/s/chip",
+        "frame_ms": round(ms, 2), "device": device,
+        "matterport_sweep_hours": round(total_h, 2),
+        "model": "fasterrcnn_r101_vg_600x600_prenms6000_rois20",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

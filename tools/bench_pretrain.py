@@ -42,7 +42,8 @@ def _batch(rng, vocab, img_dim, batch):
     }
 
 
-def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
+def run(batch: int, use_flash: bool = False, remat: bool = False,
+        use_fused: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +54,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
 
     cfg = BertConfig(vocab_size=30525, max_position_embeddings=768,
                      type_vocab_size=4, dtype=jnp.bfloat16,
-                     use_flash_attention=use_flash, remat=remat)
+                     use_flash_attention=use_flash, remat=remat,
+                     use_fused_attention=use_fused)
     trainer = PretrainTrainer(cfg, total_steps=100)
     rng = np.random.default_rng(0)
     batches = [_batch(rng, cfg.vocab_size, cfg.img_feature_dim, batch)
@@ -72,7 +74,7 @@ def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
            "value": round(batch / (ms / 1000.0) /
                           max(jax.local_device_count(), 1), 2),
            "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
-           "remat": remat, "ms_per_step": round(ms, 2)}
+           "fused": use_fused, "remat": remat, "ms_per_step": round(ms, 2)}
     try:
         cost = raw.lower(state, jb[0]).compile().cost_analysis()
         if isinstance(cost, list):
@@ -88,10 +90,16 @@ def run(batch: int, use_flash: bool = False, remat: bool = False) -> dict:
 
 
 if __name__ == "__main__":
-    for batch, flash, remat in ((8, False, False), (16, False, False),
-                                (32, True, False), (32, False, True)):
+    # Fused attention (default) removes the stored (B, H, S, S) probs
+    # activations, so larger plain batches fit than in round 2 — probe the
+    # new ceiling; keep one no-fused control for the within-window A/B.
+    for batch, flash, remat, fused in (
+            (16, False, False, False),   # round-2 configuration (control)
+            (8, False, False, True), (16, False, False, True),
+            (24, False, False, True), (32, False, False, True),
+            (48, False, False, True), (32, False, True, True)):
         try:
-            print(json.dumps(run(batch, flash, remat)), flush=True)
+            print(json.dumps(run(batch, flash, remat, fused)), flush=True)
         except Exception as e:  # OOM configs report instead of crash
             print(json.dumps({"batch": batch, "flash": flash, "remat": remat,
-                              "error": str(e)[:160]}), flush=True)
+                              "fused": fused, "error": str(e)[:160]}), flush=True)
