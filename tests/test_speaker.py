@@ -102,6 +102,31 @@ def test_generate_and_augment_records(world, speaker, trained, runtime, tok,
     assert all(a.length > 0 for a in aug)
 
 
+def test_augment_quality_gate(world, speaker, trained, runtime, tok):
+    """keep_fraction over-generates, self-scores, and keeps the n best."""
+    state, _ = trained
+    records = speaker.augment(state["params"], tok,
+                              np.random.default_rng(1), n=4, batch_size=6,
+                              keep_fraction=0.5)
+    assert len(records) == 4
+    ces = [r["speaker_ce"] for r in records]
+    assert all(np.isfinite(c) for c in ces)
+    assert ces == sorted(ces)  # kept in ascending self-CE order
+    # The gate must actually select: a no-gate run over the same rng stream
+    # yields a superset whose worst CE is >= the gated selection's worst.
+    ungated = speaker.augment(state["params"], tok,
+                              np.random.default_rng(1), n=8, batch_size=6,
+                              keep_fraction=1.0)
+    assert max(ces) <= max(r["speaker_ce"] for r in ungated)
+    # Gated records still round-trip into NavInstances.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "aug.json")
+        write_aug_records(records, out)
+        assert len(build_aug_instances(out, tok, max_seq_length=SEQ)) == 4
+
+
 def test_speaker_and_augment_cli(tmp_path):
     """run.py speaker -> augment -> viewpoint --aug_data, end to end (debug
     workspace)."""

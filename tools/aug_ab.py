@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--episode-len", type=int, default=8)
     ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--keep-frac", type=float, default=0.0,
+                    help="speaker-CE quality gate: over-generate 1/frac "
+                         "candidates, keep the best n (0 = no gate)")
     args = ap.parse_args()
 
     import jax
@@ -121,7 +124,8 @@ def main() -> None:
 
     records = sp.augment(sp_state["params"], tok, np.random.default_rng(3),
                          args.n_aug, min_hops=2,
-                         max_hops=args.episode_len - 2)
+                         max_hops=args.episode_len - 2,
+                         keep_fraction=args.keep_frac or None)
     with tempfile.TemporaryDirectory() as d:
         aug_path = os.path.join(d, "aug.json")
         write_aug_records(records, aug_path)

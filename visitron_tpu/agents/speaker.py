@@ -116,11 +116,12 @@ class SpeakerAgent:
                 "rng": jax.random.PRNGKey(self.seed + 1)}
 
     # -- loss ---------------------------------------------------------------
-    def _loss(self, rt, params, batch, rng, deterministic):
-        """Teacher-forced word CE over (trajectory -> words) pairs.
+    def _word_ce(self, rt, params, batch, rng, deterministic):
+        """Teacher-forced per-token word CE over (trajectory -> words) pairs.
 
         batch: cur_row/view/teacher/active (B, T) + words (B, L) padded with
-        pad_id; words[:, 0] is BOS, the loss predicts words[:, 1:].
+        pad_id; words[:, 0] is BOS, the CE covers words[:, 1:].  Returns
+        (ce, valid), both (B, L-1).
         """
         a_t, f_t = self._traj_feats(rt, batch["cur_row"], batch["view"],
                                     batch["teacher"], batch["active"])
@@ -142,6 +143,11 @@ class SpeakerAgent:
         valid = (targets != self.pad_id).astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), targets)
+        return ce, valid
+
+    def _loss(self, rt, params, batch, rng, deterministic):
+        """Global token-mean word CE (the training objective)."""
+        ce, valid = self._word_ce(rt, params, batch, rng, deterministic)
         return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     def train_step_fn(self):
@@ -173,6 +179,20 @@ class SpeakerAgent:
 
             self._eval_loss = lambda params, batch: f(params, batch, self.runtime)
         return self._eval_loss
+
+    def caption_ce_fn(self):
+        """Per-example deterministic word-CE — the speaker's self-score of a
+        caption against its own trajectory (EnvDrop-style quality signal:
+        lower = the caption is likelier under the model that produced it)."""
+        if getattr(self, "_caption_ce", None) is None:
+            @jax.jit
+            def f(params, batch, rt):
+                ce, valid = self._word_ce(rt, params, batch,
+                                          jax.random.PRNGKey(0), True)
+                return (ce * valid).sum(1) / jnp.maximum(valid.sum(1), 1.0)
+
+            self._caption_ce = lambda params, batch: f(params, batch, self.runtime)
+        return self._caption_ce
 
     # -- generation ---------------------------------------------------------
     def generate_fn(self, temperature: float = 0.0):
@@ -313,18 +333,27 @@ class SpeakerAgent:
 
     def augment(self, params, tokenizer, rng: np.random.Generator, n: int,
                 batch_size: int = 32, min_hops: int = 2, max_hops: int = 6,
-                prefix: str = "AUG", temperature: float = 0.0) -> list[dict]:
+                prefix: str = "AUG", temperature: float = 0.0,
+                keep_fraction: float | None = None) -> list[dict]:
         """Generate R2R-format augmentation records from sampled walks.
-        ``temperature`` > 0 samples captions (diversity) instead of greedy."""
+        ``temperature`` > 0 samples captions (diversity) instead of greedy.
+
+        ``keep_fraction`` in (0, 1] enables a quality gate: over-generate
+        ``n / keep_fraction`` candidates, self-score each caption with the
+        speaker's own teacher-forced per-example word CE against its walk
+        (``caption_ce_fn``), and keep the ``n`` best (lowest CE).  Each
+        returned record then carries a ``speaker_ce`` field."""
         gen = self.generate_fn(temperature)
+        score = self.caption_ce_fn() if keep_fraction is not None else None
+        target = n if keep_fraction is None else int(np.ceil(n / keep_fraction))
         rt = self.runtime
         records = []
         empty_rounds = 0
-        while len(records) < n:
+        while len(records) < target:
             if empty_rounds >= 5:
                 raise RuntimeError(
                     f"augment: speaker produced empty captions for 5 "
-                    f"consecutive batches ({len(records)}/{n} records) — "
+                    f"consecutive batches ({len(records)}/{target} records) — "
                     "the checkpoint likely decodes EOS immediately; train "
                     "longer or raise --aug_temperature")
             # Always sample full batches: a shape-changing final partial batch
@@ -339,9 +368,19 @@ class SpeakerAgent:
                                           arrays.items()},
                                  jax.random.PRNGKey(int(rng.integers(2**31)))))
             texts = self.decode_words(tokenizer, ids)
+            ces = None
+            if score is not None:
+                # Self-score the whole decoded batch in one call: the walk
+                # arrays + the re-encoded captions follow the training-batch
+                # contract ([BOS] w... [EOS] [PAD]..., attach_words).
+                score_batch = {k: jnp.asarray(arrays[k]) for k in
+                               ("cur_row", "view", "teacher", "active")}
+                score_batch["words"] = jnp.asarray(
+                    self.words_batch(tokenizer, texts))
+                ces = np.asarray(score(params, score_batch))
             before = len(records)
             for i, text in enumerate(texts):
-                if len(records) >= n:
+                if len(records) >= target:
                     break
                 if not text:
                     continue
@@ -354,14 +393,21 @@ class SpeakerAgent:
                     if r != rows[-1]:
                         rows.append(r)
                 path = [rt.row_to_id(r)[1] for r in rows]
-                records.append({
+                rec = {
                     "scan": walks["scans"][i],
                     "path": path,
                     "heading": walks["headings"][i],
                     "path_id": f"{prefix}_{len(records)}",
                     "instructions": [text],
-                })
+                }
+                if ces is not None:
+                    rec["speaker_ce"] = float(ces[i])
+                records.append(rec)
             empty_rounds = empty_rounds + 1 if len(records) == before else 0
+        if keep_fraction is not None:
+            records = sorted(records, key=lambda r: r["speaker_ce"])[:n]
+            for k, rec in enumerate(records):
+                rec["path_id"] = f"{prefix}_{k}"
         return records
 
 

@@ -123,6 +123,8 @@ class RunConfig:
     num_aug: int = 1000               # walks to caption in `augment`
     max_words: int = 64               # speaker decode length
     aug_temperature: float = 0.0      # 0 = greedy captions; >0 samples
+    aug_keep_fraction: float = 0.0    # 0 = no gate; in (0, 1] over-generate
+                                      # 1/frac and keep the best speaker-CE
 
     def __post_init__(self):
         valid = ("planner_path", "player_path", "trusted_path")
@@ -137,6 +139,10 @@ class RunConfig:
             raise ValueError(f"--scheduler must be linear or constant, got {self.scheduler!r}")
         if self.rng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):
             raise ValueError(f"invalid --rng_impl {self.rng_impl!r}")
+        if not (0.0 <= self.aug_keep_fraction <= 1.0):
+            raise ValueError(
+                f"--aug_keep_fraction must be in [0, 1] (0 disables the "
+                f"gate), got {self.aug_keep_fraction}")
 
     @property
     def episode_len(self) -> int:

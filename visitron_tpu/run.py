@@ -301,7 +301,8 @@ def run_augment(cfg: RunConfig):
     params = ckpt.restore(step, {"params": state["params"]})["params"]
     records = sp.augment(params, ws.tokenizer,
                          np.random.default_rng(cfg.seed), cfg.num_aug,
-                         temperature=cfg.aug_temperature)
+                         temperature=cfg.aug_temperature,
+                         keep_fraction=cfg.aug_keep_fraction or None)
     out = os.path.join(cfg.output_dir, "aug_data.json")
     os.makedirs(cfg.output_dir, exist_ok=True)
     write_aug_records(records, out)
