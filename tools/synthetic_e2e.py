@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--episodes", type=int, default=200)
     ap.add_argument("--seq", type=int, default=512)
+    # Reference-default workload: --episode-len 40 --path-type trusted_path
+    # (train.py:551-554 maps trusted_path/player_path to max_episode_len 40).
+    ap.add_argument("--episode-len", type=int, default=10)
+    ap.add_argument("--path-type", default="planner_path",
+                    choices=["planner_path", "player_path", "trusted_path"])
+    ap.add_argument("--remat", action="store_true",
+                    help="layer-wise rematerialization (fit longer episodes)")
     args = ap.parse_args()
 
     import jax
@@ -59,15 +66,16 @@ def main():
         val_inst = train_inst[:48]
 
     cfg = BertConfig(vocab_size=len(tok), max_position_embeddings=args.seq,
-                     type_vocab_size=4, dtype=jnp.bfloat16)
-    agent = ViewpointAgent(cfg, runtime, feature_dim=2048, episode_len=10,
+                     type_vocab_size=4, dtype=jnp.bfloat16, remat=args.remat)
+    agent = ViewpointAgent(cfg, runtime, feature_dim=2048,
+                           episode_len=args.episode_len,
                            max_seq_length=args.seq, learning_rate=1e-4)
     train_b = NavEpisodeBatcher(train_inst, runtime, batch_size=args.batch,
-                                path_type="planner_path")
+                                path_type=args.path_type)
     val_b = NavEpisodeBatcher(val_inst, runtime, batch_size=args.batch,
-                              path_type="planner_path")
+                              path_type=args.path_type)
     evaluator = Evaluator([it.raw for it in val_inst], world.graphs,
-                          path_type="planner_path")
+                          path_type=args.path_type)
 
     def evaluate(params, tag, step):
         results = agent.test(params, val_b.eval_batches(), feedback="argmax")
@@ -84,14 +92,16 @@ def main():
     evaluate(state["params"], "before", 0)
     step = agent.train_step_fn()
     t0 = time.time()
-    for i, batch in enumerate(train_b.train_batches(args.iters, episode_len=10)):
+    for i, batch in enumerate(train_b.train_batches(args.iters,
+                                                    episode_len=args.episode_len)):
         jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         state, loss = step(state, jb)
         if (i + 1) % 50 == 0:
             print(json.dumps({"tag": "train", "step": i + 1,
                               "loss": round(float(loss), 4),
                               "actions_per_sec": round(
-                                  args.batch * 10 * (i + 1) / (time.time() - t0), 1)}),
+                                  args.batch * args.episode_len * (i + 1)
+                                  / (time.time() - t0), 1)}),
                   flush=True)
     summary = evaluate(state["params"], "after", args.iters)
     assert np.isfinite(summary["dist_to_end_reduction"])
