@@ -23,6 +23,19 @@ EP_LEN = 6
 
 
 @pytest.fixture(scope="module")
+def world():
+    # Private world (NOT the shared session fixture): SyntheticWorld draws
+    # from its rng lazily, so the shared world's episode stream depends on
+    # which test files ran first — and the speaker trained on it varies with
+    # suite composition (a weaker draw collapses greedy decoding, tripping
+    # augment()'s empty-caption guard in the quality-gate test).
+    from visitron_tpu.testing import SyntheticWorld
+
+    return SyntheticWorld(seed=7, num_scans=2, viewpoints_per_scan=24,
+                          scene_feat_dim=64, region_feat_dim=70)
+
+
+@pytest.fixture(scope="module")
 def runtime(world):
     table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
     return NavRuntime.build(world.graphs, table)

@@ -93,11 +93,15 @@ if __name__ == "__main__":
     # Fused attention (default) removes the stored (B, H, S, S) probs
     # activations, so larger plain batches fit than in round 2 — probe the
     # new ceiling; keep one no-fused control for the within-window A/B.
+    # Measured (VALIDATION.md round 3): fused batch 16 is optimal (264 ex/s,
+    # 0.84 true MFU); batch >=24 fits HBM but hits XLA auto-remat and
+    # craters (239 / 1884 ms at 24 / 32), so no point probing past 32 —
+    # scale global batch across the dp mesh instead.
     for batch, flash, remat, fused in (
             (16, False, False, False),   # round-2 configuration (control)
             (8, False, False, True), (16, False, False, True),
             (24, False, False, True), (32, False, False, True),
-            (48, False, False, True), (32, False, True, True)):
+            (32, False, True, True)):
         try:
             print(json.dumps(run(batch, flash, remat, fused)), flush=True)
         except Exception as e:  # OOM configs report instead of crash
