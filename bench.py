@@ -116,6 +116,20 @@ def main() -> None:
     state = agent.init_state()
     train_step = agent.train_step_jit()  # raw jit: (state, batch, rt)
 
+    # True-FLOP control: with the fused Pallas attention kernel active, XLA's
+    # cost model no longer sees the attention matmuls (custom-call FLOPs are
+    # invisible), understating MFU by ~5%.  An XLA-attention control step —
+    # identical math, never executed, compiled only for cost_analysis() —
+    # provides the honest FLOP count for the same shapes.
+    ctrl_step = None
+    if cfg.use_fused_attention:
+        import dataclasses
+
+        ctrl_agent = ViewpointAgent(
+            dataclasses.replace(cfg, use_fused_attention=False), runtime,
+            feature_dim=FEAT_DIM, episode_len=EPISODE_LEN, max_seq_length=SEQ)
+        ctrl_step = ctrl_agent.train_step_jit()
+
     from visitron_tpu.utils.benchmark import stack_batches, time_step_fn
 
     groups: dict[int, list] = {}
@@ -134,6 +148,8 @@ def main() -> None:
     window_ms = [0.0] * n_windows
     total_flops = 0.0
     have_flops = True
+    total_true_flops = 0.0
+    have_true_flops = True
     for seq_len, group in sorted(groups.items()):
         stacked = stack_batches(group)
         _, windows = time_step_fn(step_fn, state, stacked,
@@ -150,6 +166,15 @@ def main() -> None:
             total_flops += float(cost.get("flops", 0.0)) * len(group)
         except Exception:
             have_flops = False
+        if ctrl_step is not None:
+            try:
+                ctrl_cost = ctrl_step.lower(state, group[0],
+                                            runtime).compile().cost_analysis()
+                if isinstance(ctrl_cost, list):
+                    ctrl_cost = ctrl_cost[0]
+                total_true_flops += float(ctrl_cost.get("flops", 0.0)) * len(group)
+            except Exception:
+                have_true_flops = False
     per_window_chip = [
         BATCH * EPISODE_LEN / (ms / len(batches) / 1000.0)
         / max(jax.local_device_count(), 1) for ms in window_ms]
@@ -160,6 +185,11 @@ def main() -> None:
     step_flops = total_flops / len(batches) if have_flops and total_flops else None
     mfu = (step_flops / (per_step_ms / 1000.0) / peak
            if step_flops and peak else None)
+    true_step_flops = (total_true_flops / len(batches)
+                       if ctrl_step is not None and have_true_flops
+                       and total_true_flops else None)
+    true_mfu = (true_step_flops / (per_step_ms / 1000.0) / peak
+                if true_step_flops and peak else None)
 
     out = {
         "metric": "ndh_finetune_nav_actions_per_sec_per_chip",
@@ -173,7 +203,15 @@ def main() -> None:
         "spread": {"min": round(min(per_window_chip), 2),
                    "max": round(max(per_window_chip), 2)},
     }
-    if mfu is not None:
+    if true_mfu is not None:
+        # Headline MFU = the honest one (XLA-attention control's FLOP count
+        # over the fused step's measured time); cost_model fields keep the
+        # fused program's own (attention-blind) accounting for continuity.
+        out["mfu"] = round(true_mfu, 4)
+        out["step_tflops"] = round(true_step_flops / 1e12, 3)
+        if mfu is not None:
+            out["mfu_cost_model"] = round(mfu, 4)
+    elif mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["step_tflops"] = round(step_flops / 1e12, 3)
     print(json.dumps(out))
