@@ -282,6 +282,7 @@ def test_dump_caffemodel_wire_roundtrip():
     sc_b = rng.normal(size=8).astype(np.float32)
     w_fc = rng.normal(size=(4, 8)).astype(np.float32)
     b_fc = rng.normal(size=4).astype(np.float32)
+    w_conv1 = rng.normal(size=(1, 8, 3, 3)).astype(np.float32)
 
     raw = b"".join([
         _pb_layer("res2a_branch2a", "Convolution", [w_conv, b_conv]),
@@ -291,10 +292,15 @@ def test_dump_caffemodel_wire_roundtrip():
         _pb_layer("scale2a_branch2a", "Scale", [sc_w, sc_b]),
         _pb_layer("relu1", "ReLU", []),
         _pb_layer("cls_score", "InnerProduct", [w_fc, b_fc], v1=True),
+        # Legacy conv whose true leading dim is 1 (single output channel):
+        # must stay rank-4 OIHW, not be stripped like IP padding.
+        _pb_layer("mask_conv", "Convolution",
+                  [w_conv1, np.ones(1, np.float32)], v1=True),
     ])
     layers = mod.parse_caffemodel(raw)
     assert [n for n, _, _ in layers] == [
-        "res2a_branch2a", "bn2a_branch2a", "scale2a_branch2a", "cls_score"]
+        "res2a_branch2a", "bn2a_branch2a", "scale2a_branch2a", "cls_score",
+        "mask_conv"]
     dump = mod.to_dump(layers)
     np.testing.assert_array_equal(dump["res2a_branch2a.weight"], w_conv)
     np.testing.assert_array_equal(dump["res2a_branch2a.bias"], b_conv)
@@ -302,6 +308,8 @@ def test_dump_caffemodel_wire_roundtrip():
     np.testing.assert_allclose(dump["bn2a_branch2a.var"], bn_var, rtol=1e-6)
     np.testing.assert_array_equal(dump["scale2a_branch2a.weight"], sc_w)
     np.testing.assert_array_equal(dump["scale2a_branch2a.bias"], sc_b)
-    # V1 legacy layer: leading 1-dims stripped -> torch-style (out, in).
+    # V1 legacy IP: the (1, 1, O, I) padding normalizes to torch-style
+    # (out, in); a legacy conv keeps rank-4 OIHW even with num_output == 1.
     np.testing.assert_array_equal(dump["cls_score.weight"], w_fc)
     np.testing.assert_array_equal(dump["cls_score.bias"], b_fc)
+    np.testing.assert_array_equal(dump["mask_conv.weight"], w_conv1)

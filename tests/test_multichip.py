@@ -98,6 +98,41 @@ def test_dryrun_never_allocates_tpu():
     assert "dryrun_multichip ok" in proc.stdout
 
 
+def test_mesh_disables_pallas_attention():
+    """Pallas kernels are Mosaic custom calls GSPMD cannot partition: every
+    mesh-aware agent/trainer must route its config through config_for_mesh,
+    which turns them off on a >1-device mesh and leaves single-device
+    configs untouched (models/bert.py:config_for_mesh)."""
+    from visitron_tpu.models import BertConfig, config_for_mesh
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     use_fused_attention=True, use_flash_attention=True)
+    mesh = make_mesh(dp=4, tp=2)
+    out = config_for_mesh(cfg, mesh)
+    assert not out.use_fused_attention and not out.use_flash_attention
+    assert config_for_mesh(cfg, None) is cfg
+    one = make_mesh(dp=1, tp=1)
+    assert config_for_mesh(cfg, one) is cfg
+
+    # The plumbing: an agent constructed WITH a multi-device mesh drops the
+    # kernels; without one it keeps them.
+    from visitron_tpu.agents import NavRuntime, ViewpointAgent
+    from visitron_tpu.data import SceneFeatureTable
+    from visitron_tpu.testing import SyntheticWorld
+
+    world = SyntheticWorld(seed=3, num_scans=1, viewpoints_per_scan=8,
+                           scene_feat_dim=16)
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    rt = NavRuntime.build(world.graphs, table)
+    meshed = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
+                            max_seq_length=64, mesh=mesh)
+    assert not meshed.cfg.use_fused_attention
+    solo = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
+                          max_seq_length=64)
+    assert solo.cfg.use_fused_attention
+
+
 def test_entry_compiles():
     import __graft_entry__ as entry
 

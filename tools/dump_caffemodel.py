@@ -94,9 +94,11 @@ def _parse_blob(buf: memoryview) -> np.ndarray:
     if data is None:
         return np.zeros(0, np.float32)
     if not dims and legacy:
+        # Keep the full legacy num/channels/height/width shape: which leading
+        # 1-dims are padding depends on the LAYER (InnerProduct pads to
+        # (1, 1, O, I); a conv with num_output=1 legitimately starts with 1),
+        # so normalization is to_dump's type-aware job, not the parser's.
         dims = [legacy.get(i, 1) for i in (1, 2, 3, 4)]
-        while len(dims) > 1 and dims[0] == 1:  # legacy pads leading 1s
-            dims = dims[1:]
     if dims and int(np.prod(dims)) == data.size:
         return data.reshape(dims)
     return data
@@ -147,7 +149,13 @@ def to_dump(layers) -> dict:
             if len(blobs) > 1:
                 out[f"scale{suffix}.bias"] = blobs[1].ravel().astype(np.float32)
         elif ltype in ("Convolution", "InnerProduct", "Embed"):
-            out[f"{name}.weight"] = blobs[0].astype(np.float32)
+            w = blobs[0]
+            if ltype in ("InnerProduct", "Embed") and w.ndim > 2:
+                # Legacy V1 stores IP weights as (1, 1, O, I); the dump
+                # layout (and torch) wants (O, I).  Convolution weights are
+                # already OIHW at rank 4 — including num_output == 1.
+                w = w.reshape(w.shape[-2], w.shape[-1])
+            out[f"{name}.weight"] = w.astype(np.float32)
             if len(blobs) > 1 and blobs[1].size:
                 out[f"{name}.bias"] = blobs[1].ravel().astype(np.float32)
         # other layer types (ReLU, Pooling, Python, ...) carry no weights

@@ -17,6 +17,23 @@ from visitron_tpu.agents.runtime import NavRuntime
 from visitron_tpu.data.datasets import NavInstance
 
 
+def trim_to_bucket(batch: dict, max_len: int, bucket: int) -> dict:
+    """Trim the dialog arrays (ids/segs) to ``max_len`` rounded up to a
+    ``bucket`` multiple.  The ONE trimming rule shared by single-host
+    length-bucketing (ViewpointAgent.trim_batch: local max, bucket 128) and
+    multi-host global bucketing (NavEpisodeBatcher._global_trim: global max
+    across every host's concurrent batch) — both sides must slice the same
+    keys to the same rule or multi-host global shapes desync."""
+    s_full = batch["ids"].shape[1]
+    s = int(min(s_full, -(-int(max(1, max_len)) // bucket) * bucket))
+    if s == s_full:
+        return batch
+    out = dict(batch)
+    out["ids"] = batch["ids"][:, :s]
+    out["segs"] = batch["segs"][:, :s]
+    return out
+
+
 class NavEpisodeBatcher:
     def __init__(
         self,
@@ -155,14 +172,7 @@ class NavEpisodeBatcher:
             self._streams = [self._batch_stream(self.instances, self.rng)]
 
     def _global_trim(self, batch: dict, global_max_len: int) -> dict:
-        s_full = batch["ids"].shape[1]
-        s = int(min(s_full,
-                    -(-max(1, global_max_len) // self.length_bucket)
-                    * self.length_bucket))
-        if s < s_full:
-            batch["ids"] = batch["ids"][:, :s]
-            batch["segs"] = batch["segs"][:, :s]
-        return batch
+        return trim_to_bucket(batch, global_max_len, self.length_bucket)
 
     def train_batches(self, num_batches: int, episode_len: int | None = None):
         """Infinite-style epoch-shuffled iterator; every batch full-size.

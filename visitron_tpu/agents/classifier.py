@@ -65,6 +65,9 @@ class ClassifierAgent:
     mesh: object = None  # optional jax Mesh for data-parallel training
 
     def __post_init__(self):
+        from visitron_tpu.models import config_for_mesh
+
+        self.cfg = config_for_mesh(self.cfg, self.mesh)
         self.encoder = OscarEncoder(
             self.cfg, hidden_size=self.encoder_hidden_size,
             decoder_hidden_size=self.rnn_dim, dropout_ratio=self.dropout)

@@ -86,6 +86,9 @@ class ViewpointAgent:
     mesh: object = None  # optional jax Mesh for data-parallel training
 
     def __post_init__(self):
+        from visitron_tpu.models import config_for_mesh
+
+        self.cfg = config_for_mesh(self.cfg, self.mesh)
         self.encoder = OscarEncoder(
             self.cfg,
             hidden_size=self.encoder_hidden_size,
@@ -162,14 +165,9 @@ class ViewpointAgent:
         padded keys are masked, the LSTM freezes at pads — verified in
         tests) but skips the encoder/LSTM work the reference wastes on
         all-pad positions; at most S/bucket jit variants exist."""
-        s_full = batch["ids"].shape[1]
-        s = int(min(s_full, -(-int(max(1, batch["lengths"].max())) // bucket) * bucket))
-        if s == s_full:
-            return batch
-        out = dict(batch)
-        out["ids"] = batch["ids"][:, :s]
-        out["segs"] = batch["segs"][:, :s]
-        return out
+        from visitron_tpu.agents.batcher import trim_to_bucket
+
+        return trim_to_bucket(batch, int(batch["lengths"].max()), bucket)
 
     def _encode_fn(self, deterministic: bool):
         if deterministic not in self._encode:
@@ -305,7 +303,10 @@ class ViewpointAgent:
         host's identical copy into one global array."""
         if self.mesh is None:
             return self.runtime
-        if self._rt_placed is None:
+        # Cache keyed on the runtime's identity: swapping in rebuilt tables
+        # (agent.runtime = ...) must re-place rather than silently train
+        # against the stale device copy.
+        if self._rt_placed is None or self._rt_placed[0] is not self.runtime:
             from visitron_tpu.parallel import replicated_sharding
 
             sh = replicated_sharding(self.mesh)
@@ -314,8 +315,8 @@ class ViewpointAgent:
                     sh, np.asarray(x))
             else:
                 place = lambda x: jax.device_put(x, sh)
-            self._rt_placed = jax.tree.map(place, self.runtime)
-        return self._rt_placed
+            self._rt_placed = (self.runtime, jax.tree.map(place, self.runtime))
+        return self._rt_placed[1]
 
     def _place_batch(self, batch: dict) -> dict:
         """Length-bucket the batch and, when training on a mesh, shard it over

@@ -1,4 +1,5 @@
-from visitron_tpu.models.bert import BertConfig, VisitronBert, BertTextModel
+from visitron_tpu.models.bert import (BertConfig, BertTextModel,
+                                      VisitronBert, config_for_mesh)
 from visitron_tpu.models.pretrain import PretrainModel, pretrain_loss
 from visitron_tpu.models.encoder import OscarEncoder
 from visitron_tpu.models.decoder import (
@@ -11,6 +12,7 @@ from visitron_tpu.models.lstm import LSTM, lstm_cell_step
 
 __all__ = [
     "BertConfig",
+    "config_for_mesh",
     "VisitronBert",
     "BertTextModel",
     "PretrainModel",

@@ -55,7 +55,7 @@ class BertConfig:
     # into the kernels.  Otherwise the XLA-fused jnp path runs.
     use_flash_attention: bool = False
     # Small-S single-pass Pallas kernel (one program per head-block, fused
-    # dropout, single-kernel backward) for self-attention at S <= 1024 on
+    # dropout, single-kernel backward) for self-attention at S <= 768 on
     # TPU — beats the XLA path at this framework's production shapes when
     # dropout is active (ops/attention.py measurements).  Auto-gated by
     # attention_supports_fused; off-TPU and odd shapes fall through.
@@ -67,6 +67,24 @@ class BertConfig:
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
+
+
+def config_for_mesh(cfg: BertConfig, mesh) -> BertConfig:
+    """Adapt a BertConfig for execution on a device mesh.
+
+    The Pallas kernels (fused/flash attention) lower to Mosaic custom calls
+    that GSPMD cannot auto-partition: under a >1-device mesh a jitted step
+    containing one either fails to compile or silently replicates the
+    attention operands (all-gathering the batch/head shards), defeating the
+    sharding.  The XLA attention path partitions cleanly, so every
+    mesh-aware agent/trainer routes its config through here before building
+    submodules.  Re-enabling the kernels on meshes needs a shard_map or
+    custom_partitioning wrapper — until then, multi-chip correctness wins."""
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return cfg
+    if not (cfg.use_fused_attention or cfg.use_flash_attention):
+        return cfg
+    return cfg.replace(use_fused_attention=False, use_flash_attention=False)
 
 
 def _dense(features, cfg: BertConfig, name=None, use_bias=True):

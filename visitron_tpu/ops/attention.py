@@ -400,10 +400,14 @@ def attention_supports_flash(q_len: int, k_len: int, head_dim: int) -> bool:
 # tensor never touches HBM in either direction.
 # ---------------------------------------------------------------------------
 
-def _fused_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                      *, hpb: int, sm_scale: float, rate: float):
+def _fused_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
+                      hpb: int, sm_scale: float, rate: float):
     import jax.experimental.pallas as pl
 
+    # The lse residual output only exists on the training path (need_lse):
+    # the primal/inference call omits its out_spec entirely, so eval never
+    # pays the (B*H, 8, S) f32 HBM write (XLA cannot DCE pallas outputs).
+    lse_ref = rest[0] if rest else None
     i = pl.program_id(0)
     thr = _threshold(rate)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
@@ -422,9 +426,10 @@ def _fused_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         m = jnp.max(s, axis=-1)
         p = jnp.exp(s - m[:, None])
         l = jnp.sum(p, axis=-1)
-        # 8x sublane-replicated residual (TPU block alignment for any hpb).
-        lse_ref[hh] = jnp.broadcast_to((m + jnp.log(l))[None, :],
-                                       lse_ref.shape[1:])
+        if lse_ref is not None:
+            # 8x sublane-replicated residual (TPU block alignment, any hpb).
+            lse_ref[hh] = jnp.broadcast_to((m + jnp.log(l))[None, :],
+                                           lse_ref.shape[1:])
         a = p * (1.0 / l)[:, None]
         if rate > 0.0:
             seed = _mix_seed(seed_ref, i * hpb + hh)
@@ -510,7 +515,12 @@ def _fused_forward(q, k, v, key_bias, dropout_seed, dropout_rate, interpret,
     seed = (jnp.zeros((1,), jnp.int32) if dropout_seed is None
             else jnp.asarray(dropout_seed, jnp.int32).reshape(1))
     grid = (b * h // hpb,)
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((hpb, s, d), lambda i: (i, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * h, s, d), q.dtype)]
+    if need_lse:  # training residual; eval skips the write entirely
+        out_specs.append(pl.BlockSpec((hpb, 8, s), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 8, s), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, hpb=hpb, sm_scale=sm_scale,
                           rate=dropout_rate),
         grid=grid,
@@ -523,19 +533,14 @@ def _fused_forward(q, k, v, key_bias, dropout_seed, dropout_rate, interpret,
             # every program's heads share a batch item.
             pl.BlockSpec((1, 1, s), lambda i: (i * hpb // h, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((hpb, s, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((hpb, 8, s), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 8, s), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(seed, qr, kr, vr, key_bias[:, None, :])
-    return out.reshape(b, h, s, d), (lse if need_lse else None)
+    out = res[0]
+    return out.reshape(b, h, s, d), (res[1] if need_lse else None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -601,13 +606,16 @@ fused_attention.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 def attention_supports_fused(q_len: int, k_len: int, head_dim: int,
                              batch: int, num_heads: int) -> bool:
     """Gate for the small-S single-pass kernel: self-attention shapes whose
-    full (S, S) score matrix fits the per-program VMEM budget."""
+    full (S, S) score matrix fits the per-program VMEM budget.
+
+    The S ceiling is 768 — the largest shape hardware-validated for both
+    directions (VALIDATION.md); at S=1024 the backward's ~5 live f32 (S, S)
+    workspaces (~21 MB) exceed the 16 MB scoped-VMEM budget even at one
+    head per block.  Longer sequences take the blockwise flash path."""
     return (
         jax.default_backend() == "tpu"
         and q_len == k_len
-        and 128 <= q_len <= 1024
+        and 128 <= q_len <= 768
         and q_len % 128 == 0
         and head_dim in (64, 128)
-        and (batch * num_heads) % _fused_heads_per_block(num_heads, q_len) == 0
-        and (batch * num_heads) % _fused_heads_per_block(num_heads, q_len, 4) == 0
     )

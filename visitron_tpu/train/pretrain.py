@@ -39,12 +39,15 @@ class PretrainTrainer:
     model: PretrainModel = field(init=False)
 
     def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        from visitron_tpu.models import config_for_mesh
+
+        self.cfg = config_for_mesh(self.cfg, self.mesh)
         self.model = PretrainModel(self.cfg)
         self.optimizer = adamw_with_warmup(
             self.learning_rate, self.warmup_steps, self.total_steps,
             self.schedule, self.weight_decay, self.adam_epsilon, self.max_grad_norm)
-        if self.mesh is None:
-            self.mesh = make_mesh()
         self._step_fn = None
         self._eval_fn = None
 
