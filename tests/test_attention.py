@@ -255,3 +255,110 @@ def test_flash_dropout_bwd_matches_masked_reference():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=3e-4, atol=3e-4)
+
+
+# -- fused_attention_mesh: the shard_map wrapper (multi-chip kernel path) ----
+
+
+def test_fused_mesh_matches_jnp_attention():
+    """shard_map-wrapped fused kernel (interpret, 4x2 CPU mesh) == jnp
+    attention, forward AND gradients — one per-shard kernel per device."""
+    from visitron_tpu.ops.attention import fused_attention_mesh
+    from visitron_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, tp=2)
+    rng = np.random.default_rng(8)
+    b, h, s, d = 4, 4, 256, 64  # local shards: (1, 2, 256, 64)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    keep = np.ones((b, s), np.float32)
+    keep[0, 200:] = 0.0
+    keep[2, 64:] = 0.0
+    key_bias = jnp.asarray((1.0 - keep) * NEG_INF)
+
+    def loss_mesh(q, k, v):
+        return fused_attention_mesh(q, k, v, key_bias, None, 0.0,
+                                    mesh=mesh, interpret=True).sum()
+
+    def loss_ref(q, k, v):
+        return multi_head_attention(q, k, v,
+                                    bias=key_bias[:, None, None, :]).sum()
+
+    got = fused_attention_mesh(q, k, v, key_bias, None, 0.0,
+                               mesh=mesh, interpret=True)
+    ref = multi_head_attention(q, k, v, bias=key_bias[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    gm = jax.grad(loss_mesh, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mesh_dropout_decorrelated_across_shards():
+    """Under dropout, every dp shard folds its mesh coordinates into the
+    seed (no two devices reuse a mask stream), and fwd+bwd stay consistent:
+    both match a jnp reference applying the SAME reconstructed per-shard
+    masks."""
+    from visitron_tpu.ops.attention import (_keep_mask, _threshold,
+                                            fused_attention_mesh)
+    from visitron_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, tp=1)
+    rng = np.random.default_rng(9)
+    b, h, s, d = 4, 2, 128, 64  # local shards: (1, 2, 128, 64)
+    rate, seed = 0.4, 21
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    bias = jnp.zeros((b, s), jnp.float32)
+
+    # Reconstruct each shard's mask: local_b=1, so shard bi holds batch item
+    # bi with per-shard seed = seed + bi*1000003 (tp index 0), and local bh
+    # index = head index.
+    masks = np.zeros((b, h, s, s), bool)
+    for bi in range(b):
+        shard_seed = np.uint32(np.int32(seed) + np.int32(bi) * np.int32(1000003))
+        for hh in range(h):
+            mix = jnp.uint32(shard_seed) ^ (jnp.uint32(hh) * jnp.uint32(0xC2B2AE3D))
+            masks[bi, hh] = np.asarray(
+                _keep_mask(mix, 0, 0, (s, s), _threshold(rate)))
+    mask = jnp.asarray(masks)
+    # Decorrelation: distinct shards must not share a mask stream.
+    assert not np.array_equal(masks[0], masks[1])
+
+    def ref_loss(q, k, v):
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(d), -1)
+        p = jnp.where(mask, p, 0.0) / (1.0 - rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v).sum()
+
+    def mesh_loss(q, k, v):
+        return fused_attention_mesh(q, k, v, bias, jnp.int32(seed), rate,
+                                    mesh=mesh, interpret=True).sum()
+
+    np.testing.assert_allclose(np.asarray(mesh_loss(q, k, v)),
+                               np.asarray(ref_loss(q, k, v)), rtol=2e-4)
+    gm = jax.grad(mesh_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_fused_mesh_gate(monkeypatch):
+    """attention_supports_fused_mesh: divisibility over the mesh axes plus
+    the per-shard single-device gate."""
+    from visitron_tpu.ops import attention as A
+    from visitron_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    mesh = make_mesh(dp=4, tp=2)
+    assert A.attention_supports_fused_mesh(mesh, 256, 256, 64, 8, 12)
+    assert not A.attention_supports_fused_mesh(mesh, 256, 256, 64, 6, 12)  # b % dp
+    assert not A.attention_supports_fused_mesh(mesh, 256, 256, 64, 8, 9)   # h % tp
+    assert not A.attention_supports_fused_mesh(mesh, 96, 96, 64, 8, 12)    # S gate
+    assert not A.attention_supports_fused_mesh(None, 256, 256, 64, 8, 12)

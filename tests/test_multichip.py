@@ -98,11 +98,13 @@ def test_dryrun_never_allocates_tpu():
     assert "dryrun_multichip ok" in proc.stdout
 
 
-def test_mesh_disables_pallas_attention():
+def test_mesh_routes_pallas_attention():
     """Pallas kernels are Mosaic custom calls GSPMD cannot partition: every
     mesh-aware agent/trainer must route its config through config_for_mesh,
-    which turns them off on a >1-device mesh and leaves single-device
-    configs untouched (models/bert.py:config_for_mesh)."""
+    which on a >1-device mesh disables the (wrapper-less) flash path and
+    attaches the mesh so self-attention takes the shard_map-wrapped fused
+    kernel (models/bert.py:config_for_mesh, ops/attention.py:
+    fused_attention_mesh); single-device configs pass through untouched."""
     from visitron_tpu.models import BertConfig, config_for_mesh
 
     cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
@@ -110,13 +112,14 @@ def test_mesh_disables_pallas_attention():
                      use_fused_attention=True, use_flash_attention=True)
     mesh = make_mesh(dp=4, tp=2)
     out = config_for_mesh(cfg, mesh)
-    assert not out.use_fused_attention and not out.use_flash_attention
+    assert not out.use_flash_attention
+    assert out.use_fused_attention and out.attention_mesh is mesh
     assert config_for_mesh(cfg, None) is cfg
     one = make_mesh(dp=1, tp=1)
     assert config_for_mesh(cfg, one) is cfg
 
-    # The plumbing: an agent constructed WITH a multi-device mesh drops the
-    # kernels; without one it keeps them.
+    # The plumbing: an agent constructed WITH a multi-device mesh carries
+    # the mesh in its config; without one it keeps the plain kernel path.
     from visitron_tpu.agents import NavRuntime, ViewpointAgent
     from visitron_tpu.data import SceneFeatureTable
     from visitron_tpu.testing import SyntheticWorld
@@ -127,9 +130,11 @@ def test_mesh_disables_pallas_attention():
     rt = NavRuntime.build(world.graphs, table)
     meshed = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
                             max_seq_length=64, mesh=mesh)
-    assert not meshed.cfg.use_fused_attention
+    assert meshed.cfg.attention_mesh is mesh
+    assert not meshed.cfg.use_flash_attention
     solo = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
                           max_seq_length=64)
+    assert solo.cfg.attention_mesh is None
     assert solo.cfg.use_fused_attention
 
 

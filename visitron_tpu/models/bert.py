@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 from visitron_tpu.ops.attention import (attention_supports_flash,
                                         attention_supports_fused,
+                                        attention_supports_fused_mesh,
                                         flash_attention, fused_attention,
+                                        fused_attention_mesh,
                                         multi_head_attention)
 from visitron_tpu.ops.masking import make_attention_bias
 
@@ -64,6 +66,11 @@ class BertConfig:
     # (jax.checkpoint): trades ~30% more FLOPs for O(layers) less activation
     # memory — enables batch scaling beyond HBM.
     remat: bool = False
+    # Set by config_for_mesh on >1-device meshes: route self-attention
+    # through fused_attention_mesh (shard_map over (dp, tp)) so multi-chip
+    # training keeps the Pallas kernel — GSPMD cannot partition Mosaic
+    # custom calls on its own.
+    attention_mesh: Any = None
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
@@ -76,15 +83,18 @@ def config_for_mesh(cfg: BertConfig, mesh) -> BertConfig:
     that GSPMD cannot auto-partition: under a >1-device mesh a jitted step
     containing one either fails to compile or silently replicates the
     attention operands (all-gathering the batch/head shards), defeating the
-    sharding.  The XLA attention path partitions cleanly, so every
-    mesh-aware agent/trainer routes its config through here before building
-    submodules.  Re-enabling the kernels on meshes needs a shard_map or
-    custom_partitioning wrapper — until then, multi-chip correctness wins."""
+    sharding.  Every mesh-aware agent/trainer routes its config through
+    here before building submodules.  The fused kernel stays available via
+    the shard_map wrapper (``attention_mesh`` ->
+    ops.attention.fused_attention_mesh, gated per shape at the call site);
+    the blockwise flash path has no mesh wrapper and is disabled outright —
+    shapes that don't fit the fused gate take XLA attention, which
+    partitions cleanly."""
     if mesh is None or getattr(mesh, "size", 1) <= 1:
         return cfg
     if not (cfg.use_fused_attention or cfg.use_flash_attention):
         return cfg
-    return cfg.replace(use_fused_attention=False, use_flash_attention=False)
+    return cfg.replace(use_flash_attention=False, attention_mesh=mesh)
 
 
 def _dense(features, cfg: BertConfig, name=None, use_bias=True):
@@ -154,24 +164,36 @@ class BertSelfAttention(nn.Module):
         k_len = kv_in.shape[1]
         key_bias_ok = (bias is not None and bias.ndim == 4
                        and bias.shape[1] == 1 and bias.shape[2] == 1)
+        fused_ok = (cfg.use_fused_attention and key_bias_ok
+                    and history_state is None)
+        use_fused_mesh = (
+            fused_ok and cfg.attention_mesh is not None
+            and attention_supports_fused_mesh(cfg.attention_mesh,
+                                              q_len, k_len, d, b, h)
+        )
         use_fused = (
-            cfg.use_fused_attention and key_bias_ok
-            and history_state is None
+            fused_ok and not use_fused_mesh
+            and cfg.attention_mesh is None
             and attention_supports_fused(q_len, k_len, d, b, h)
         )
         use_flash = (
-            not use_fused
+            not (use_fused or use_fused_mesh)
             and cfg.use_flash_attention and key_bias_ok
             and attention_supports_flash(q_len, k_len, d)
         )
-        if use_fused:
+        if use_fused or use_fused_mesh:
             rate = 0.0 if deterministic else float(cfg.attention_probs_dropout_prob)
             seed = None
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
-            ctx = fused_attention(split(q), split(k), split(v),
-                                  bias[:, 0, 0, :], seed, rate)
+            if use_fused_mesh:
+                ctx = fused_attention_mesh(split(q), split(k), split(v),
+                                           bias[:, 0, 0, :], seed, rate,
+                                           mesh=cfg.attention_mesh)
+            else:
+                ctx = fused_attention(split(q), split(k), split(v),
+                                      bias[:, 0, 0, :], seed, rate)
         elif use_flash:
             # Training path included: attention-prob dropout is fused into the
             # kernels (mask recomputed in bwd from a position hash) — the

@@ -619,3 +619,61 @@ def attention_supports_fused(q_len: int, k_len: int, head_dim: int,
         and q_len % 128 == 0
         and head_dim in (64, 128)
     )
+
+
+def attention_supports_fused_mesh(mesh, q_len: int, k_len: int,
+                                  head_dim: int, batch: int,
+                                  num_heads: int) -> bool:
+    """Gate for :func:`fused_attention_mesh`: the per-shard shapes must pass
+    the single-device gate, and batch/heads must divide the mesh axes."""
+    if mesh is None:
+        return False
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp, tp = axes.get("dp", 1), axes.get("tp", 1)
+    return (
+        set(mesh.axis_names) <= {"dp", "tp"}
+        and batch % dp == 0
+        and num_heads % tp == 0
+        and attention_supports_fused(q_len, k_len, head_dim,
+                                     batch // dp, num_heads // tp)
+    )
+
+
+def fused_attention_mesh(q, k, v, key_bias, dropout_seed=None,
+                         dropout_rate: float = 0.0, *, mesh,
+                         interpret: bool = False):
+    """:func:`fused_attention` under a (dp, tp) device mesh via shard_map.
+
+    GSPMD cannot auto-partition Mosaic custom calls, but attention is
+    embarrassingly parallel over (batch, heads): shard_map places one
+    ordinary fused kernel per device on its (B/dp, H/tp, S, D) shard —
+    multi-chip training keeps the kernel instead of falling back to XLA
+    attention.  Each shard folds its (dp, tp) coordinates into the dropout
+    seed so no two devices reuse a mask stream (forward/backward agreement
+    is preserved: the same offset is recomputed inside the vjp).  Gate with
+    :func:`attention_supports_fused_mesh`."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    has_seed = dropout_seed is not None
+
+    def body(q, k, v, key_bias, *seed_args):
+        seed = None
+        if has_seed:
+            di = jax.lax.axis_index("dp").astype(jnp.int32)
+            ti = jax.lax.axis_index("tp").astype(jnp.int32)
+            seed = (jnp.asarray(seed_args[0], jnp.int32)
+                    + di * jnp.int32(1000003) + ti * jnp.int32(7919))
+        return fused_attention(q, k, v, key_bias, seed, dropout_rate,
+                               interpret)
+
+    in_specs = [P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp")]
+    args = [q, k, v, key_bias]
+    if has_seed:
+        in_specs.append(P())
+        args.append(jnp.asarray(dropout_seed, jnp.int32))
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and every output IS dp/tp-varying by construction here.
+    return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=P("dp", "tp"), check_vma=False)(*args)
