@@ -273,3 +273,30 @@ def test_remat_preserves_values_and_grads(rng):
     for a, b in zip(flat_b, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_attention_mesh_config_falls_back_identically(rng):
+    """A config carrying attention_mesh must be semantics-free whenever the
+    per-shard gate rejects (here: CPU backend) — identical outputs and
+    gradients to the mesh-less config, same parameter tree.  This pins the
+    config_for_mesh routing so attaching a mesh can never silently change
+    numerics on the fallback path."""
+    from visitron_tpu.parallel import make_mesh
+
+    ids = jnp.ones((8, 8), jnp.int32)
+    mask = jnp.ones((8, 8), jnp.int32)
+    base = PretrainModel(CFG)
+    meshed = PretrainModel(CFG.replace(attention_mesh=make_mesh(dp=4, tp=2)))
+    params = base.init(rng, ids, attention_mask=mask)
+    labels = jnp.full((8, 8), -1, jnp.int32).at[:, 2].set(5)
+
+    def loss(model, p):
+        out = model.apply(p, ids, attention_mask=mask)
+        return pretrain_loss(out, labels)["loss"]
+
+    lb, gb = jax.jit(jax.value_and_grad(lambda p: loss(base, p)))(params)
+    lm, gm = jax.jit(jax.value_and_grad(lambda p: loss(meshed, p)))(params)
+    np.testing.assert_allclose(float(lb), float(lm), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
