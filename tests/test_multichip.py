@@ -138,6 +138,46 @@ def test_mesh_routes_pallas_attention():
     assert solo.cfg.use_fused_attention
 
 
+def test_agents_place_runtime_on_mesh():
+    """Every mesh-aware agent's train step must feed a mesh-replicated
+    runtime (step_runtime), not the raw host-local tables — mixing
+    host-local leaves with mesh-sharded batch/state is an
+    incompatible-devices error under jax.distributed (the multi-host
+    regression this pins: classifier/turn_based lacked step_runtime)."""
+    from visitron_tpu.agents import NavRuntime, ViewpointAgent
+    from visitron_tpu.agents.classifier import ClassifierAgent
+    from visitron_tpu.agents.turn_based import TurnBasedAgent
+    from visitron_tpu.data import SceneFeatureTable
+    from visitron_tpu.models import BertConfig
+    from visitron_tpu.testing import SyntheticWorld
+
+    world = SyntheticWorld(seed=4, num_scans=1, viewpoints_per_scan=8,
+                           scene_feat_dim=16)
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    rt = NavRuntime.build(world.graphs, table)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=64, type_vocab_size=4)
+    mesh = make_mesh(dp=8)
+    n_dev = len(jax.devices())
+    for agent in (
+        ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
+                       max_seq_length=64, mesh=mesh),
+        ClassifierAgent(cfg, rt, feature_dim=16, episode_len=2,
+                        max_seq_length=64, mesh=mesh),
+        TurnBasedAgent(cfg, rt, feature_dim=16, episode_len=2,
+                       max_seq_length=64, mesh=mesh),
+    ):
+        placed = agent.step_runtime()
+        leaf = jax.tree.leaves(placed)[0]
+        assert len(leaf.sharding.device_set) == n_dev, type(agent).__name__
+        assert leaf.sharding.is_fully_replicated, type(agent).__name__
+        # Cached until the runtime object is swapped.
+        assert agent.step_runtime() is placed
+        agent.runtime = NavRuntime.build(world.graphs, table)
+        assert agent.step_runtime() is not placed
+
+
 def test_entry_compiles():
     import __graft_entry__ as entry
 

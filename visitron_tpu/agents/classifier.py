@@ -87,6 +87,7 @@ class ClassifierAgent:
         else:
             self.optimizer = base
         self._train_step = None
+        self._rt_placed = None
 
     def init_state(self) -> dict:
         s = self.max_seq_length
@@ -288,10 +289,25 @@ class ClassifierAgent:
                 return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
             def run(state, batch):
-                return train_step(state, self._place_batch(batch), self.runtime)
+                return train_step(state, self._place_batch(batch),
+                                  self.step_runtime())
 
             self._train_step = run
         return self._train_step
+
+    def step_runtime(self):
+        """Runtime tables for the (possibly mesh-sharded) train step —
+        globally replicated on the mesh (multi-host: assembled as global
+        arrays), host-local otherwise.  Same contract as
+        ViewpointAgent.step_runtime."""
+        if self.mesh is None:
+            return self.runtime
+        if self._rt_placed is None or self._rt_placed[0] is not self.runtime:
+            from visitron_tpu.agents.runtime import place_runtime_on_mesh
+
+            self._rt_placed = (self.runtime,
+                               place_runtime_on_mesh(self.runtime, self.mesh))
+        return self._rt_placed[1]
 
     def evaluate(self, params, batches) -> dict[str, float]:
         """Deterministic pass collecting predictions/labels -> metrics

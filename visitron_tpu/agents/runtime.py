@@ -388,3 +388,21 @@ def _rt_unflatten(aux: NavRuntime, children):
 import jax  # noqa: E402  (registration only; jnp already imported above)
 
 jax.tree_util.register_pytree_node(NavRuntime, _rt_flatten, _rt_unflatten)
+
+
+def place_runtime_on_mesh(runtime: NavRuntime, mesh) -> NavRuntime:
+    """Globally-replicated device copy of the runtime's array leaves for a
+    mesh step: single-host via device_put, multi-host by assembling each
+    host's identical local copy into one global array.  Jitted mesh steps
+    must receive THIS, not the raw host-local runtime — mixing host-local
+    leaves with mesh-sharded batch/state arrays is an incompatible-devices
+    error under jax.distributed.  Callers cache per (runtime, mesh): the
+    placement is one full HBM upload of the world tables."""
+    from visitron_tpu.parallel import replicated_sharding
+
+    sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        place = lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+    else:
+        place = lambda x: jax.device_put(x, sh)
+    return jax.tree.map(place, runtime)

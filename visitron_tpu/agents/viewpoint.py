@@ -307,15 +307,10 @@ class ViewpointAgent:
         # (agent.runtime = ...) must re-place rather than silently train
         # against the stale device copy.
         if self._rt_placed is None or self._rt_placed[0] is not self.runtime:
-            from visitron_tpu.parallel import replicated_sharding
+            from visitron_tpu.agents.runtime import place_runtime_on_mesh
 
-            sh = replicated_sharding(self.mesh)
-            if jax.process_count() > 1:
-                place = lambda x: jax.make_array_from_process_local_data(
-                    sh, np.asarray(x))
-            else:
-                place = lambda x: jax.device_put(x, sh)
-            self._rt_placed = (self.runtime, jax.tree.map(place, self.runtime))
+            self._rt_placed = (self.runtime,
+                               place_runtime_on_mesh(self.runtime, self.mesh))
         return self._rt_placed[1]
 
     def _place_batch(self, batch: dict) -> dict:

@@ -174,7 +174,7 @@ class BertSelfAttention(nn.Module):
         use_fused = (
             fused_ok and not use_fused_mesh
             and cfg.attention_mesh is None
-            and attention_supports_fused(q_len, k_len, d, b, h)
+            and attention_supports_fused(q_len, k_len, d)
         )
         use_flash = (
             not (use_fused or use_fused_mesh)

@@ -8,7 +8,7 @@ attention, oscar/modeling_bert.py:34-79):
     softmax, scaled by 1/(1-rate)) materializes the (B, H, Q, K) probability
     tensor, which dominates HBM traffic during training.
   * ``fused_attention`` — **the TPU default** (BertConfig.use_fused_attention)
-    for this framework's production lengths (128 <= S <= 1024): ONE Pallas
+    for this framework's production lengths (128 <= S <= 768): ONE Pallas
     program per block of heads computes the full-row softmax in a single
     pass, dropout is fused via a position-hash mask (no RNG tensor), and the
     backward computes dq/dk/dv in ONE kernel.  Beats the XLA path at every
@@ -536,7 +536,7 @@ def _fused_forward(q, k, v, key_bias, dropout_seed, dropout_rate, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(seed, qr, kr, vr, key_bias[:, None, :])
     out = res[0]
@@ -546,7 +546,7 @@ def _fused_forward(q, k, v, key_bias, dropout_seed, dropout_rate, interpret,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_attention(q, k, v, key_bias, dropout_seed=None,
                     dropout_rate: float = 0.0, interpret: bool = False):
-    """Single-pass Pallas attention for S <= ~1024 with fused dropout.
+    """Single-pass Pallas attention for S <= 768 with fused dropout.
 
     q/k/v: (B, H, S, D) self-attention (q_len == k_len); ``key_bias``: (B, S)
     additive padding bias; ``dropout_seed``: int32 scalar (required when
@@ -593,7 +593,7 @@ def _fused_bwd_rule(dropout_rate, interpret, res, g):
         out_specs=[blk3, blk3, blk3],
         out_shape=[jax.ShapeDtypeStruct((b * h, s, d), q.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(seed, qr, kr, vr, key_bias[:, None, :], dor, lse)
     return (dq.reshape(b, h, s, d), dk.reshape(b, h, s, d),
@@ -603,8 +603,7 @@ def _fused_bwd_rule(dropout_rate, interpret, res, g):
 fused_attention.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
-def attention_supports_fused(q_len: int, k_len: int, head_dim: int,
-                             batch: int, num_heads: int) -> bool:
+def attention_supports_fused(q_len: int, k_len: int, head_dim: int) -> bool:
     """Gate for the small-S single-pass kernel: self-attention shapes whose
     full (S, S) score matrix fits the per-program VMEM budget.
 
@@ -631,11 +630,10 @@ def attention_supports_fused_mesh(mesh, q_len: int, k_len: int,
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     dp, tp = axes.get("dp", 1), axes.get("tp", 1)
     return (
-        set(mesh.axis_names) <= {"dp", "tp"}
+        set(mesh.axis_names) == {"dp", "tp"}
         and batch % dp == 0
         and num_heads % tp == 0
-        and attention_supports_fused(q_len, k_len, head_dim,
-                                     batch // dp, num_heads // tp)
+        and attention_supports_fused(q_len, k_len, head_dim)
     )
 
 
