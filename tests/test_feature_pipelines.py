@@ -155,6 +155,27 @@ def test_scene_extractor_end_to_end(world, tmp_path):
         loaded["features"][list(feats)[0]], feats[list(feats)[0]], rtol=1e-6)
 
 
+def test_scene_extract_all_batched_matches_per_viewpoint(world):
+    """extract_all's multi-panorama batching (viewpoints_per_batch=2, final
+    odd batch zero-padded) must reproduce per-viewpoint extraction exactly."""
+    import copy
+
+    from visitron_tpu.pipelines.scene_features import SceneFeatureExtractor
+
+    ex = SceneFeatureExtractor.random_init(depth=50, image_hw=(32, 32))
+    assert ex.viewpoints_per_batch == 2
+    scan = world.scans[0]
+    g = copy.copy(world.graphs[scan])
+    g.viewpoints = g.viewpoints[:3]  # odd count -> exercises the padded flush
+    panos = {vp: _synthetic_pano(scan, vp) for vp in g.viewpoints}
+    got = ex.extract_all({scan: g}, lambda s, vp: panos[vp])
+    assert set(got) == {f"{scan}_{vp}" for vp in g.viewpoints}
+    for vp in g.viewpoints:
+        np.testing.assert_allclose(got[f"{scan}_{vp}"],
+                                   ex.extract_viewpoint(panos[vp]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_region_extractor_end_to_end(world, tmp_path):
     from visitron_tpu.pipelines.region_features import (
         RegionFeatureExtractor,

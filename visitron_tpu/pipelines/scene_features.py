@@ -33,6 +33,10 @@ class SceneFeatureExtractor:
     image_h: int = 480
     vfov: int = 60
     batch_views: int = 36  # whole panorama per device batch
+    # Panoramas per forward: 2 (72 views) measures +11% throughput over
+    # single-panorama batches on v5e (568 vs 513 frames/s, 0.40 vs 0.36 MFU);
+    # 4 (144 views) regresses (XLA auto-remat near HBM).  VALIDATION.md.
+    viewpoints_per_batch: int = 2
 
     def __post_init__(self):
         self.model = ResNet(self.depth)
@@ -67,6 +71,25 @@ class SceneFeatureExtractor:
         out = self._forward(self.params, jnp.asarray(images, jnp.float32))
         return np.asarray(out, np.float32)
 
+    def _flush(self, buf: list, features: dict) -> None:
+        """Run one multi-panorama forward over the buffered viewpoints.
+
+        The final partial batch pads with zero images to the steady-state
+        (viewpoints_per_batch * 36, H, W, 3) shape so exactly ONE jit
+        variant exists; padded rows are discarded."""
+        vpb = self.viewpoints_per_batch
+        imgs = np.concatenate([images for _, images in buf], axis=0)
+        if len(buf) < vpb:
+            pad = np.zeros(((vpb - len(buf)) * geo.NUM_VIEWS, *imgs.shape[1:]),
+                           imgs.dtype)
+            imgs = np.concatenate([imgs, pad], axis=0)
+        out = np.asarray(self._forward(self.params,
+                                       jnp.asarray(imgs, jnp.float32)),
+                         np.float32)
+        for i, (key, _) in enumerate(buf):
+            features[key] = out[i * geo.NUM_VIEWS:(i + 1) * geo.NUM_VIEWS]
+        buf.clear()
+
     def extract_all(self, graphs: dict, image_provider, out_tsv: str | None = None,
                     log_every: int = 100, logger=None) -> dict[str, np.ndarray]:
         """All (scan, viewpoint) panoramas -> {scan_vp: (36, D)}; optional TSV.
@@ -79,22 +102,30 @@ class SceneFeatureExtractor:
         total = sum(g.num_viewpoints for g in graphs.values())
         done = 0
         start = time.time()
+        buf: list = []
         for scan in sorted(graphs):
             g = graphs[scan]
             for vp in g.viewpoints:
                 render_t.tic()
                 images = image_provider(scan, vp)
                 render_t.toc()
-                net_t.tic()
-                features[f"{scan}_{vp}"] = self.extract_viewpoint(images)
-                net_t.toc()
+                buf.append((f"{scan}_{vp}", images))
+                if len(buf) == self.viewpoints_per_batch:
+                    net_t.tic()
+                    self._flush(buf, features)
+                    net_t.toc()
                 done += 1
                 if logger and done % log_every == 0:
-                    avg_r, avg_n = render_t.toc(average=True), net_t.toc(average=True)
+                    avg_r = render_t.toc(average=True)
+                    # net_t ticks once per flush of viewpoints_per_batch.
+                    avg_n = (net_t.toc(average=True)
+                             / max(self.viewpoints_per_batch, 1))
                     rate = done / (time.time() - start)
                     logger.info(
                         "%d/%d viewpoints; render %.3fs net %.3fs; ~%.1f h left",
                         done, total, avg_r, avg_n, (total - done) / rate / 3600)
+        if buf:
+            self._flush(buf, features)
         if out_tsv:
             write_tsv_img_features(out_tsv, features, self.image_w, self.image_h, self.vfov)
         return features
