@@ -121,8 +121,11 @@ def main() -> None:
     # invisible), understating MFU by ~5%.  An XLA-attention control step —
     # identical math, never executed, compiled only for cost_analysis() —
     # provides the honest FLOP count for the same shapes.
+    # BENCH_TRUE_MFU=0 skips the control compiles (one per bucket) if a slow
+    # relay window makes the extra compile time a problem; the headline
+    # actions/s is unaffected either way.
     ctrl_step = None
-    if cfg.use_fused_attention:
+    if cfg.use_fused_attention and os.environ.get("BENCH_TRUE_MFU", "1") == "1":
         import dataclasses
 
         ctrl_agent = ViewpointAgent(

@@ -191,3 +191,30 @@ def test_length_sort_window_groups_batches(instances, runtime):
     # Epoch coverage is a permutation either way.
     assert sorted(seen_sorted[: len(inst)]) == sorted(seen_plain[: len(inst)])
     assert spread_sorted <= spread_plain
+
+
+def test_bf16_adam_moments_trains(world, runtime, tok, batcher):
+    """--bf16_adam_moments halves optimizer-state bytes and still learns."""
+    cfg = BertConfig(
+        vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=SEQ, type_vocab_size=4)
+    ag = ViewpointAgent(
+        cfg, runtime, feature_dim=world.scene_feat_dim, episode_len=EP_LEN,
+        rnn_dim=24, encoder_hidden_size=16, aemb=8, max_seq_length=SEQ,
+        learning_rate=1e-3, bf16_adam_moments=True)
+    state = ag.init_state()
+    import jax.numpy as jnp
+
+    adam = state["opt_state"][1][0]
+    assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(adam.mu))
+    assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(adam.nu))
+    step = ag.train_step_fn()
+    batch = next(batcher.train_batches(1, episode_len=EP_LEN))
+    jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    losses = []
+    for _ in range(10):
+        state, loss = step(state, jb)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -42,9 +42,19 @@ def main() -> None:
     ap.add_argument("--keep-frac", type=float, default=0.0,
                     help="speaker-CE quality gate: over-generate 1/frac "
                          "candidates, keep the best n (0 = no gate)")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="caption sampling temperature (EnvDrop samples its "
+                         "augmentation captions; 0 = greedy)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host-CPU backend (JAX_PLATFORMS env is "
+                         "overridden by the relay sitecustomize; only "
+                         "jax.config wins)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from visitron_tpu.agents import NavRuntime, ViewpointAgent
@@ -125,6 +135,7 @@ def main() -> None:
     records = sp.augment(sp_state["params"], tok, np.random.default_rng(3),
                          args.n_aug, min_hops=2,
                          max_hops=args.episode_len - 2,
+                         temperature=args.temperature,
                          keep_fraction=args.keep_frac or None)
     with tempfile.TemporaryDirectory() as d:
         aug_path = os.path.join(d, "aug.json")

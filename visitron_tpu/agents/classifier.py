@@ -59,6 +59,7 @@ class ClassifierAgent:
     learning_rate: float = 5e-5
     pos_weight: float = 5.0
     only_finetune_classifier: bool = True
+    bf16_adam_moments: bool = False
     max_encode_events: int = 8
     seed: int = 88
     max_seq_length: int = 512
@@ -75,7 +76,8 @@ class ClassifierAgent:
             angle_feat_size=self.angle_feat_size, embedding_size=self.aemb,
             hidden_size=self.rnn_dim, dropout_ratio=self.dropout,
             feature_size=self.feature_dim + self.angle_feat_size)
-        base = agent_optimizer(self.learning_rate, "adam", 40.0)
+        base = agent_optimizer(self.learning_rate, "adam", 40.0,
+                               bf16_moments=self.bf16_adam_moments)
         if self.only_finetune_classifier:
             def label_fn(params):
                 def rule(path, _):

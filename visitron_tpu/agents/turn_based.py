@@ -48,6 +48,7 @@ class TurnBasedAgent:
     learning_rate: float = 1e-4
     optimizer_kind: str = "adam"
     max_grad_norm: float = 40.0
+    bf16_adam_moments: bool = False
     seed: int = 88
     max_seq_length: int = 512
     mesh: object = None  # optional jax Mesh for data-parallel training
@@ -64,7 +65,8 @@ class TurnBasedAgent:
             embedding_size=self.aemb, hidden_size=self.rnn_dim,
             dropout_ratio=self.dropout, feature_size=self.feature_dim)
         self.optimizer = agent_optimizer(
-            self.learning_rate, self.optimizer_kind, self.max_grad_norm)
+            self.learning_rate, self.optimizer_kind, self.max_grad_norm,
+            bf16_moments=self.bf16_adam_moments)
         self._train_step = None
         self._rt_placed = None
         self._encode = {}

@@ -80,6 +80,8 @@ class ViewpointAgent:
     learning_rate: float = 5e-5
     optimizer_kind: str = "adam"
     max_grad_norm: float = 40.0
+    bf16_adam_moments: bool = False  # store Adam mu/nu in bf16 (halves
+                                     # optimizer-state HBM traffic)
     seed: int = 88
     max_seq_length: int = 512
     temperature: float = 1.0  # temperature/penalty feedback scaling
@@ -103,7 +105,8 @@ class ViewpointAgent:
             feature_size=self.feature_dim + self.angle_feat_size,
         )
         self.optimizer = agent_optimizer(
-            self.learning_rate, self.optimizer_kind, self.max_grad_norm)
+            self.learning_rate, self.optimizer_kind, self.max_grad_norm,
+            bf16_moments=self.bf16_adam_moments)
         from visitron_tpu.models import Critic
 
         self._critic = Critic(hidden_size=self.rnn_dim, dropout_ratio=self.dropout)

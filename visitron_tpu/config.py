@@ -110,6 +110,9 @@ class RunConfig:
     # volumes (VALIDATION.md); set threefry2x32 for cross-impl key
     # reproducibility.
     rng_impl: str = "rbg"
+    # Store Adam first/second moments in bfloat16 (arithmetic stays fp32).
+    # Halves optimizer-state HBM traffic; see train/optim.py:scale_by_adam_lowp.
+    bf16_adam_moments: bool = False
     # Length-grouped shuffle batching: window (in batches) within which
     # instances are ordered by dialog length so padded length per batch stays
     # near its own maximum (pack_padded work-skipping equivalent); 0/1 = off.

@@ -170,7 +170,8 @@ def run_pretrain(cfg: RunConfig):
         bcfg, learning_rate=cfg.learning_rate, warmup_steps=cfg.warmup_steps,
         total_steps=cfg.num_epochs * steps_per_epoch, schedule=cfg.scheduler,
         weight_decay=cfg.weight_decay, adam_epsilon=cfg.adam_epsilon,
-        max_grad_norm=cfg.max_grad_norm, mesh=mesh, seed=cfg.seed)
+        max_grad_norm=cfg.max_grad_norm,
+        bf16_adam_moments=cfg.bf16_adam_moments, mesh=mesh, seed=cfg.seed)
     batch_size = cfg.train_batch_size(mesh.devices.size)
     state = trainer.init_state(dataset.batch(range(min(batch_size, len(dataset)))))
     ckpt = CheckpointManager(cfg.output_dir)

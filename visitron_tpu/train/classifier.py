@@ -43,6 +43,7 @@ class ClassifierTrainer:
             dropout=self.cfg.dropout, learning_rate=self.cfg.learning_rate,
             pos_weight=self.cfg.question_asking_class_weight,
             only_finetune_classifier=self.cfg.only_finetune_classifier,
+            bf16_adam_moments=self.cfg.bf16_adam_moments,
             seed=self.cfg.seed, max_seq_length=self.cfg.max_seq_length,
             mesh=self.mesh)
         self.ckpt = CheckpointManager(self.cfg.output_dir)

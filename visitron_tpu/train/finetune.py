@@ -51,6 +51,7 @@ class ViewpointTrainer:
             dropout=self.cfg.dropout,
             learning_rate=self.cfg.learning_rate,
             max_grad_norm=self.cfg.agent_max_grad_norm,
+            bf16_adam_moments=self.cfg.bf16_adam_moments,
             seed=self.cfg.seed,
             max_seq_length=self.cfg.max_seq_length,
             temperature=self.cfg.temperature,

@@ -34,6 +34,7 @@ class PretrainTrainer:
     weight_decay: float = 0.0
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    bf16_adam_moments: bool = False
     mesh: Any = None
     seed: int = 42
     model: PretrainModel = field(init=False)
@@ -47,7 +48,8 @@ class PretrainTrainer:
         self.model = PretrainModel(self.cfg)
         self.optimizer = adamw_with_warmup(
             self.learning_rate, self.warmup_steps, self.total_steps,
-            self.schedule, self.weight_decay, self.adam_epsilon, self.max_grad_norm)
+            self.schedule, self.weight_decay, self.adam_epsilon, self.max_grad_norm,
+            bf16_moments=self.bf16_adam_moments)
         self._step_fn = None
         self._eval_fn = None
 

@@ -42,6 +42,7 @@ class TurnBasedTrainer:
             rnn_dim=self.cfg.rnn_dim,
             encoder_hidden_size=self.cfg.encoder_hidden_size,
             dropout=self.cfg.dropout, learning_rate=self.cfg.learning_rate,
+            bf16_adam_moments=self.cfg.bf16_adam_moments,
             seed=self.cfg.seed, max_seq_length=self.cfg.max_seq_length,
             mesh=self.mesh)
         self.ckpt = CheckpointManager(self.cfg.output_dir)
