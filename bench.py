@@ -101,8 +101,12 @@ def main() -> None:
 
     cfg = BertConfig(vocab_size=len(tok), max_position_embeddings=SEQ,
                      type_vocab_size=4, dtype=jnp.bfloat16, remat=REMAT)
+    # BENCH_BF16_ADAM=1 stores Adam moments in bf16 (--bf16_adam_moments):
+    # same update math in fp32, half the optimizer-state HBM traffic.
+    bf16_adam = os.environ.get("BENCH_BF16_ADAM", "0") == "1"
     agent = ViewpointAgent(cfg, runtime, feature_dim=FEAT_DIM,
-                           episode_len=EPISODE_LEN, max_seq_length=SEQ)
+                           episode_len=EPISODE_LEN, max_seq_length=SEQ,
+                           bf16_adam_moments=bf16_adam)
     batcher = NavEpisodeBatcher(instances, runtime, batch_size=BATCH,
                                 path_type=PATH_TYPE)
     # One epoch-representative mix of batches: length-grouped shuffling means

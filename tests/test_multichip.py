@@ -184,3 +184,51 @@ def test_entry_compiles():
     fn, args = entry.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] == 2
+
+
+def test_eval_paths_use_mesh_free_encoder():
+    """Validation/rollout jits are host-local (they feed self.runtime, not
+    the mesh-placed tables), so their encoder must NOT carry attention_mesh:
+    a shard_map over the global mesh inside a host-local jit is an
+    incompatible-devices error under jax.distributed.  Each mesh-aware agent
+    therefore keeps a mesh-free eval twin sharing the same params."""
+    from visitron_tpu.agents import NavRuntime, ViewpointAgent
+    from visitron_tpu.agents.classifier import ClassifierAgent
+    from visitron_tpu.agents.turn_based import TurnBasedAgent
+    from visitron_tpu.data import SceneFeatureTable
+    from visitron_tpu.models import BertConfig
+    from visitron_tpu.testing import SyntheticWorld
+
+    world = SyntheticWorld(seed=6, num_scans=1, viewpoints_per_scan=8,
+                           scene_feat_dim=16)
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    rt = NavRuntime.build(world.graphs, table)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=64, type_vocab_size=4,
+                     use_fused_attention=True)
+    mesh = make_mesh(dp=4, tp=2)
+    agents = [cls(cfg, rt, feature_dim=16, episode_len=2,
+                  max_seq_length=64, mesh=mesh)
+              for cls in (ViewpointAgent, ClassifierAgent, TurnBasedAgent)]
+    for agent in agents:
+        name = type(agent).__name__
+        assert agent.encoder.cfg.attention_mesh is mesh, name
+        assert agent.eval_encoder.cfg.attention_mesh is None, name
+    # Same module structure => same params: init trees must match (the
+    # attention routing is param-free; one agent covers the shared code path).
+    import jax.numpy as jnp
+    agent = agents[0]
+    ids = jnp.zeros((2, 64), jnp.int32)
+    lens = jnp.full((2,), 8, jnp.int32)
+    p1 = agent.encoder.init(jax.random.PRNGKey(0), ids, lens,
+                            token_type_ids=jnp.zeros_like(ids),
+                            deterministic=True)
+    p2 = agent.eval_encoder.init(jax.random.PRNGKey(0), ids, lens,
+                                 token_type_ids=jnp.zeros_like(ids),
+                                 deterministic=True)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    # Single-device agents reuse the same module object (no twin needed).
+    solo = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
+                          max_seq_length=64)
+    assert solo.eval_encoder is solo.encoder

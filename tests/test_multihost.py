@@ -58,7 +58,9 @@ with tempfile.TemporaryDirectory() as d:
     instances = build_nav_instances(d, ["train"], tok, max_seq_length=64)
 
 mesh = make_mesh(dp=4, tp=1)  # spans both processes
-cfg = BertConfig(vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+# 1 layer: the multihost contract (replicated loss, global bucketing) is
+# depth-independent, and each layer costs two full SPMD compiles (2 procs).
+cfg = BertConfig(vocab_size=len(tok), hidden_size=32, num_hidden_layers=1,
                  num_attention_heads=4, intermediate_size=64,
                  max_position_embeddings=64, type_vocab_size=4)
 agent = ViewpointAgent(cfg, runtime, feature_dim=32, episode_len=4,
@@ -116,6 +118,46 @@ for pb in placed:
 assert all(np.isfinite(losses)), losses
 print(f"RESULT {jax.process_index()} {losses[0]:.6f} {losses[1]:.6f}", flush=True)
 print(f"SHAPES {jax.process_index()} {shapes[0]} {shapes[1]}", flush=True)
+
+# ---- pretraining multi-host: strided example shards -> one global dp batch
+# (PretrainTrainer.step_fn routes through shard_batch; epoch_batches yields
+# the host's slice from an epoch-keyed global shuffle).
+import math
+from visitron_tpu import geometry as geo
+from visitron_tpu.data import RegionFeatureStore
+from visitron_tpu.data.candidates import build_candidate_tables
+from visitron_tpu.data.pretrain_dataset import PretrainDataset
+from visitron_tpu.pipelines.pretrain_datagen import generate_pretrain_examples
+from visitron_tpu.train.pretrain import PretrainTrainer
+
+hfov = geo.camera_hfov(640, 480, math.radians(60))
+cand_tables = build_candidate_tables(world.graphs, hfov)
+with tempfile.TemporaryDirectory() as d2:
+    world.write_task_data(d2, counts={"train": 8})
+    recs = generate_pretrain_examples(d2, ["train"], "NDH", world.graphs,
+                                      cand_tables)
+feats, tokens = world.region_features()
+store = RegionFeatureStore(feats, tokens)
+pds = PretrainDataset(
+    recs[:8], tok, region_store=store,
+    detector_classes=sorted({t for v in tokens.values() for t in v}),
+    masked_token_prediction=True, max_seq_length=48, max_img_seq_length=16,
+    region_feat_dim=world.region_feat_dim, seed=0)
+pcfg = BertConfig(vocab_size=len(tok), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=4, intermediate_size=64,
+                  max_position_embeddings=64, type_vocab_size=4,
+                  img_feature_dim=world.region_feat_dim, action_space=36,
+                  detector_classes=len(pds.class2id))
+trainer = PretrainTrainer(pcfg, mesh=mesh, total_steps=10, schedule="constant")
+pstate = trainer.init_state(pds.batch(range(2)))
+pstep = trainer.step_fn()
+plosses = []
+for batch in pds.epoch_batches(2, host_id=jax.process_index(), num_hosts=2):
+    pstate, bundle = pstep(pstate, batch)
+    plosses.append(float(bundle["loss"]))
+assert len(plosses) == 2, len(plosses)  # 8 examples / 2 hosts / batch 2
+assert all(np.isfinite(plosses)), plosses
+print(f"PRETRAIN {jax.process_index()} {plosses[0]:.6f} {plosses[1]:.6f}", flush=True)
 """
 
 
@@ -154,6 +196,7 @@ def test_two_process_data_parallel_train(tmp_path):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     results = {}
     shapes = {}
+    pretrain = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
@@ -162,6 +205,9 @@ def test_two_process_data_parallel_train(tmp_path):
             elif line.startswith("SHAPES"):
                 _, pid, s0, s1 = line.split()
                 shapes[pid] = (int(s0), int(s1))
+            elif line.startswith("PRETRAIN"):
+                _, pid, l0, l1 = line.split()
+                pretrain[pid] = (float(l0), float(l1))
     assert set(results) == {"0", "1"}, outs
     # Replicated loss: both hosts computed the same global value.
     assert results["0"] == results["1"], results
@@ -169,3 +215,7 @@ def test_two_process_data_parallel_train(tmp_path):
     # (collective-free) per-batch dialog bucket, at least one below max_seq.
     assert shapes["0"] == shapes["1"], shapes
     assert min(shapes["0"]) < 64, shapes
+    # Pretraining leg: strided example shards assembled into one dp batch,
+    # same replicated loss on both hosts.
+    assert set(pretrain) == {"0", "1"}, outs
+    assert pretrain["0"] == pretrain["1"], pretrain

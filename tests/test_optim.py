@@ -123,3 +123,28 @@ def test_adam_lowp_under_jit_and_grad_clip():
     assert l_lowp < 0.9 * float(
         jnp.sum((jnp.zeros(8) - 3.0) ** 2) + jnp.sum((jnp.ones(8) * 2) ** 2))
     assert abs(l_ref - l_lowp) < 0.05 * max(l_ref, 1e-3)
+
+
+def test_bf16_opt_state_checkpoint_roundtrip(tmp_path):
+    """Exact resume with bf16 moments: orbax must restore the ScaleByAdamState
+    at its stored bfloat16 dtype (a silent f32 upcast would desync the
+    restored run from the uninterrupted one)."""
+    from visitron_tpu.train.checkpoint import CheckpointManager
+
+    params = {"w": jnp.ones((6, 3)), "b": jnp.zeros((3,))}
+    opt = agent_optimizer(1e-3, "adam", 40.0, bf16_moments=True)
+    state = opt.init(params)
+    g = jax.tree.map(lambda p: jnp.full_like(p, 0.25), params)
+    for _ in range(3):
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(3, params, opt_state=state)
+    restored = mgr.restore(3, {"params": params, "opt_state": state})
+    r_adam = restored["opt_state"][1][0]
+    s_adam = state[1][0]
+    for got, want in zip(jax.tree.leaves(r_adam), jax.tree.leaves(s_adam)):
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32))

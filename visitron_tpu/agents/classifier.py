@@ -72,6 +72,16 @@ class ClassifierAgent:
         self.encoder = OscarEncoder(
             self.cfg, hidden_size=self.encoder_hidden_size,
             decoder_hidden_size=self.rnn_dim, dropout_ratio=self.dropout)
+        # Mesh-free twin for host-local eval jits (same params; see
+        # ViewpointAgent.eval_encoder for the incompatible-devices
+        # rationale under jax.distributed).
+        if self.cfg.attention_mesh is not None:
+            self.eval_encoder = OscarEncoder(
+                self.cfg.replace(attention_mesh=None),
+                hidden_size=self.encoder_hidden_size,
+                decoder_hidden_size=self.rnn_dim, dropout_ratio=self.dropout)
+        else:
+            self.eval_encoder = self.encoder
         self.decoder = AttnDecoderLSTMwithClassifier(
             angle_feat_size=self.angle_feat_size, embedding_size=self.aemb,
             hidden_size=self.rnn_dim, dropout_ratio=self.dropout,
@@ -227,11 +237,13 @@ class ClassifierAgent:
         }
 
     # -- jitted loss -----------------------------------------------------------
-    def _episode_outputs(self, rt, params, batch, rng, deterministic):
+    def _episode_outputs(self, rt, params, batch, rng, deterministic,
+                         encoder=None):
+        encoder = self.encoder if encoder is None else encoder
         e, b, s = batch["lang_ids"].shape
 
         def enc_one(ids, segs, lens):
-            ctx, h, c = self.encoder.apply(
+            ctx, h, c = encoder.apply(
                 params["encoder"], ids, lens, token_type_ids=segs,
                 deterministic=True)  # encoder frozen + eval mode (no_grad parity)
             return jax.lax.stop_gradient((ctx, h, c))
@@ -266,9 +278,11 @@ class ClassifierAgent:
         (_, _, _), qa_logits = jax.lax.scan(step, init, xs)
         return qa_logits.T  # (B, T)
 
-    def loss_fn(self, rt, params, batch, rng, deterministic=True):
+    def loss_fn(self, rt, params, batch, rng, deterministic=True,
+                encoder=None):
         # Per-step masked mean, then / episode_len (classifier/agent.py:493-507,585).
-        qa_logits = self._episode_outputs(rt, params, batch, rng, deterministic)  # (B, T)
+        qa_logits = self._episode_outputs(rt, params, batch, rng, deterministic,
+                                          encoder=encoder)  # (B, T)
         keep = (~batch["qa_ignore"]).astype(jnp.float32)
         per = bce_with_logits(qa_logits, batch["qa_target"], self.pos_weight) * keep
         n = jnp.maximum(keep.sum(axis=0), 1.0)  # per-step non-ignored count
@@ -299,17 +313,10 @@ class ClassifierAgent:
 
     def step_runtime(self):
         """Runtime tables for the (possibly mesh-sharded) train step —
-        globally replicated on the mesh (multi-host: assembled as global
-        arrays), host-local otherwise.  Same contract as
-        ViewpointAgent.step_runtime."""
-        if self.mesh is None:
-            return self.runtime
-        if self._rt_placed is None or self._rt_placed[0] is not self.runtime:
-            from visitron_tpu.agents.runtime import place_runtime_on_mesh
+        same contract as ViewpointAgent.step_runtime."""
+        from visitron_tpu.agents.runtime import cached_step_runtime
 
-            self._rt_placed = (self.runtime,
-                               place_runtime_on_mesh(self.runtime, self.mesh))
-        return self._rt_placed[1]
+        return cached_step_runtime(self)
 
     def evaluate(self, params, batches) -> dict[str, float]:
         """Deterministic pass collecting predictions/labels -> metrics
@@ -318,7 +325,8 @@ class ClassifierAgent:
 
         @jax.jit
         def fwd(params, batch, rt):
-            return self.loss_fn(rt, params, batch, jax.random.PRNGKey(0), True)
+            return self.loss_fn(rt, params, batch, jax.random.PRNGKey(0), True,
+                                encoder=self.eval_encoder)
 
         preds, labels = [], []
         total_loss, n = 0.0, 0

@@ -406,3 +406,19 @@ def place_runtime_on_mesh(runtime: NavRuntime, mesh) -> NavRuntime:
     else:
         place = lambda x: jax.device_put(x, sh)
     return jax.tree.map(place, runtime)
+
+
+def cached_step_runtime(agent):
+    """Shared implementation of the agents' ``step_runtime()``: the
+    mesh-replicated runtime for the train step, cached on the agent and
+    keyed on the runtime object's identity — swapping in rebuilt tables
+    (``agent.runtime = ...``) must re-place rather than silently train
+    against the stale device copy.  Host-local (no mesh) agents pass the
+    raw runtime through.  One helper so the caching contract cannot drift
+    between the three mesh-aware agents."""
+    if agent.mesh is None:
+        return agent.runtime
+    if agent._rt_placed is None or agent._rt_placed[0] is not agent.runtime:
+        agent._rt_placed = (agent.runtime,
+                            place_runtime_on_mesh(agent.runtime, agent.mesh))
+    return agent._rt_placed[1]

@@ -60,6 +60,16 @@ class TurnBasedAgent:
         self.encoder = OscarEncoder(
             self.cfg, hidden_size=self.encoder_hidden_size,
             decoder_hidden_size=self.rnn_dim, dropout_ratio=self.dropout)
+        # Mesh-free twin for host-local eval/rollout jits (same params;
+        # see ViewpointAgent.eval_encoder for the incompatible-devices
+        # rationale under jax.distributed).
+        if self.cfg.attention_mesh is not None:
+            self.eval_encoder = OscarEncoder(
+                self.cfg.replace(attention_mesh=None),
+                hidden_size=self.encoder_hidden_size,
+                decoder_hidden_size=self.rnn_dim, dropout_ratio=self.dropout)
+        else:
+            self.eval_encoder = self.encoder
         self.decoder = TurnBasedDecoderLSTM(
             input_action_size=len(MODEL_ACTIONS), output_action_size=6,
             embedding_size=self.aemb, hidden_size=self.rnn_dim,
@@ -107,10 +117,12 @@ class TurnBasedAgent:
             batch = shard_batch(self.mesh, batch)
         return batch
 
-    def _episode_loss(self, rt, params, batch, rng, deterministic):
+    def _episode_loss(self, rt, params, batch, rng, deterministic,
+                      encoder=None):
+        encoder = self.encoder if encoder is None else encoder
         ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
         rng, enc_rng = jax.random.split(rng)
-        ctx, h_t, c_t = self.encoder.apply(
+        ctx, h_t, c_t = encoder.apply(
             params["encoder"], ids, lengths, token_type_ids=segs,
             deterministic=deterministic,
             rngs=None if deterministic else {"dropout": enc_rng})
@@ -170,22 +182,16 @@ class TurnBasedAgent:
 
     def step_runtime(self):
         """Runtime tables for the (possibly mesh-sharded) train step —
-        globally replicated on the mesh (multi-host: assembled as global
-        arrays), host-local otherwise.  Same contract as
-        ViewpointAgent.step_runtime."""
-        if self.mesh is None:
-            return self.runtime
-        if self._rt_placed is None or self._rt_placed[0] is not self.runtime:
-            from visitron_tpu.agents.runtime import place_runtime_on_mesh
+        same contract as ViewpointAgent.step_runtime."""
+        from visitron_tpu.agents.runtime import cached_step_runtime
 
-            self._rt_placed = (self.runtime,
-                               place_runtime_on_mesh(self.runtime, self.mesh))
-        return self._rt_placed[1]
+        return cached_step_runtime(self)
 
     def eval_loss_fn(self, use_dropout: bool = False):
         @jax.jit
         def eval_loss(params, batch, rng, rt):
-            return self._episode_loss(rt, params, batch, rng, not use_dropout)
+            return self._episode_loss(rt, params, batch, rng, not use_dropout,
+                                      encoder=self.eval_encoder)
 
         def run(params, batch, rng):
             return eval_loss(params, ViewpointAgent.trim_batch(batch), rng,
@@ -228,7 +234,7 @@ class TurnBasedAgent:
 
         @jax.jit
         def encode(enc_params, ids, segs, lengths, enc_rng):
-            return self.encoder.apply(
+            return self.eval_encoder.apply(
                 enc_params, ids, lengths, token_type_ids=segs,
                 deterministic=det, rngs=None if det else {"dropout": enc_rng})
 

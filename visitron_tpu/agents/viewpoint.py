@@ -97,6 +97,21 @@ class ViewpointAgent:
             decoder_hidden_size=self.rnn_dim,
             dropout_ratio=self.dropout,
         )
+        # Eval/rollout twin: validation and trajectory rollouts are jitted
+        # host-local (each host scores its own split with self.runtime, not
+        # the mesh-placed tables), so their encoder must NOT carry
+        # attention_mesh — a shard_map over the global mesh inside a
+        # host-local jit is an incompatible-devices error under
+        # jax.distributed.  Same params (attention routing is param-free).
+        if self.cfg.attention_mesh is not None:
+            self.eval_encoder = OscarEncoder(
+                self.cfg.replace(attention_mesh=None),
+                hidden_size=self.encoder_hidden_size,
+                decoder_hidden_size=self.rnn_dim,
+                dropout_ratio=self.dropout,
+            )
+        else:
+            self.eval_encoder = self.encoder
         self.decoder = AttnDecoderLSTM(
             angle_feat_size=self.angle_feat_size,
             embedding_size=self.aemb,
@@ -176,7 +191,7 @@ class ViewpointAgent:
         if deterministic not in self._encode:
             @jax.jit
             def encode(enc_params, ids, segs, lengths, rng):
-                return self.encoder.apply(
+                return self.eval_encoder.apply(
                     enc_params, ids, lengths, token_type_ids=segs,
                     deterministic=deterministic,
                     rngs=None if deterministic else {"dropout": rng},
@@ -184,13 +199,17 @@ class ViewpointAgent:
             self._encode[deterministic] = encode
         return self._encode[deterministic]
 
-    def _episode_loss(self, rt, params, batch, rng, deterministic):
+    def _episode_loss(self, rt, params, batch, rng, deterministic,
+                      encoder=None):
         """Encoder + scanned teacher-forced decode; returns mean loss.
         ``rt`` arrives as a pytree jit argument (never a closure: closure
-        constants embed the world tables into every lowered program)."""
+        constants embed the world tables into every lowered program).
+        ``encoder`` lets the host-local eval path substitute its mesh-free
+        twin (eval_encoder); training uses the mesh-routed default."""
+        encoder = self.encoder if encoder is None else encoder
         ids, segs, lengths = batch["ids"], batch["segs"], batch["lengths"]
         rng, enc_rng = jax.random.split(rng)
-        ctx, h_t, c_t = self.encoder.apply(
+        ctx, h_t, c_t = encoder.apply(
             params["encoder"], ids, lengths, token_type_ids=segs,
             deterministic=deterministic,
             rngs=None if deterministic else {"dropout": enc_rng},
@@ -304,17 +323,9 @@ class ViewpointAgent:
         pytree registration); on a mesh they must be globally replicated
         arrays — single-host via device_put, multi-host by assembling each
         host's identical copy into one global array."""
-        if self.mesh is None:
-            return self.runtime
-        # Cache keyed on the runtime's identity: swapping in rebuilt tables
-        # (agent.runtime = ...) must re-place rather than silently train
-        # against the stale device copy.
-        if self._rt_placed is None or self._rt_placed[0] is not self.runtime:
-            from visitron_tpu.agents.runtime import place_runtime_on_mesh
+        from visitron_tpu.agents.runtime import cached_step_runtime
 
-            self._rt_placed = (self.runtime,
-                               place_runtime_on_mesh(self.runtime, self.mesh))
-        return self._rt_placed[1]
+        return cached_step_runtime(self)
 
     def _place_batch(self, batch: dict) -> dict:
         """Length-bucket the batch and, when training on a mesh, shard it over
@@ -520,7 +531,8 @@ class ViewpointAgent:
         @jax.jit
         def eval_loss(params, batch, rng, rt):
             return self._episode_loss(rt, params, batch, rng,
-                                      deterministic=not use_dropout)
+                                      deterministic=not use_dropout,
+                                      encoder=self.eval_encoder)
 
         def run(params, batch, rng):
             return eval_loss(params, self.trim_batch(batch), rng, self.runtime)
@@ -561,7 +573,7 @@ class ViewpointAgent:
 
         @jax.jit
         def rollout(rt, params, ids, segs, lengths, start_rows, start_views, rng):
-            ctx, h_t, c_t = self.encoder.apply(
+            ctx, h_t, c_t = self.eval_encoder.apply(
                 params["encoder"], ids, lengths, token_type_ids=segs,
                 deterministic=True)
             ctx_mask = jnp.arange(ids.shape[1])[None, :] >= lengths[:, None]

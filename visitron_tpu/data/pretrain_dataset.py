@@ -58,7 +58,8 @@ class PretrainDataset:
         tar_back: bool = False,
         truncate_dialog: bool = True,
         debug: bool = False,
-        seed: int = 0,
+        seed: int = 0,  # masking + shuffle determinism (self.seed kept for
+                        # the epoch-keyed shuffle stream, see epoch_batches)
         cache_path: str | None = None,
     ):
         self.tokenizer = tokenizer
@@ -72,6 +73,8 @@ class PretrainDataset:
         self.region_feat_dim = region_feat_dim
         self.debug = debug
         self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0  # epoch counter for the shuffle stream
         self.loc_embeddings = geo.all_viewpoint_loc_embeddings()  # (36, 36, 128)
         if self.mtp:
             assert detector_classes is not None
@@ -280,10 +283,31 @@ class PretrainDataset:
             out["next_action"][i] = -1 if self.no_action_grounding else ex.next_action
         return out
 
-    def epoch_batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
+    def epoch_batches(self, batch_size: int, shuffle: bool = True,
+                      drop_last: bool = True, host_id: int = 0,
+                      num_hosts: int = 1):
+        """Epoch iterator; ``batch_size`` is the PER-HOST batch.
+
+        Multi-host (num_hosts > 1): every host derives the same global
+        shuffle from its identically-seeded rng, takes its strided shard
+        (DistributedSampler parity, pretrain.py:236-239), and yields the
+        same deterministic number of batches on every host — computed from
+        the GLOBAL example count, so no collective and no host ever blocks
+        in the SPMD step waiting for a straggler's extra batch."""
         order = np.arange(len(self.examples))
         if shuffle:
-            self.rng.shuffle(order)
-        end = (len(order) // batch_size) * batch_size if drop_last else len(order)
+            # Epoch-keyed stream, NOT self.rng: batch() consumes self.rng for
+            # dynamic masking and each host masks different examples, so the
+            # shared stream desyncs across hosts after one epoch — the global
+            # shuffle must depend only on (seed, epoch) to keep every host's
+            # strided shard complementary.
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+            self._epoch += 1
+        if num_hosts > 1:
+            order = order[host_id::num_hosts]
+            n_batches = (len(self.examples) // num_hosts) // batch_size
+            end = n_batches * batch_size
+        else:
+            end = (len(order) // batch_size) * batch_size if drop_last else len(order)
         for i in range(0, end, batch_size):
             yield self.batch(order[i : i + batch_size])

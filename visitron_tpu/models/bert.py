@@ -171,9 +171,10 @@ class BertSelfAttention(nn.Module):
             and attention_supports_fused_mesh(cfg.attention_mesh,
                                               q_len, k_len, d, b, h)
         )
+        # Mesh attached => never the single-device fused kernel (the mesh
+        # wrapper or XLA take over); mesh absent => use_fused_mesh is False.
         use_fused = (
-            fused_ok and not use_fused_mesh
-            and cfg.attention_mesh is None
+            fused_ok and cfg.attention_mesh is None
             and attention_supports_fused(q_len, k_len, d)
         )
         use_flash = (

@@ -78,6 +78,11 @@ class SceneFeatureExtractor:
         (viewpoints_per_batch * 36, H, W, 3) shape so exactly ONE jit
         variant exists; padded rows are discarded."""
         vpb = self.viewpoints_per_batch
+        for key, images in buf:
+            # Same fail-fast as extract_viewpoint: a wrong view count would
+            # silently shift every panorama slice in the concatenated batch.
+            assert images.shape[0] == geo.NUM_VIEWS, (
+                f"{key}: expected {geo.NUM_VIEWS} views, got {images.shape[0]}")
         imgs = np.concatenate([images for _, images in buf], axis=0)
         if len(buf) < vpb:
             pad = np.zeros(((vpb - len(buf)) * geo.NUM_VIEWS, *imgs.shape[1:]),

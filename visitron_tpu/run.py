@@ -190,8 +190,13 @@ def run_pretrain(cfg: RunConfig):
         state = {**state, **replicate_state(mesh, restored)}
         start_epoch = min(it // steps_per_epoch, cfg.num_epochs)
         logger.info("resumed from checkpoint-%d (epoch %d)", it, start_epoch)
+    # Multi-host: each host feeds its strided shard of the global batch
+    # (DistributedSampler parity; shard_batch assembles the global array).
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    local_bs = batch_size // num_hosts
     for epoch in range(start_epoch, cfg.num_epochs):
-        for batch in dataset.epoch_batches(batch_size):
+        for batch in dataset.epoch_batches(local_bs, host_id=host_id,
+                                           num_hosts=num_hosts):
             state, bundle = step(state, batch)
             it += 1
             if it % cfg.logging_steps == 0:
@@ -204,7 +209,7 @@ def run_pretrain(cfg: RunConfig):
             val_ds = make_dataset([split])
             if val_ds is None or len(val_ds) < batch_size:
                 continue
-            vals = trainer.evaluate(state["params"], val_ds, batch_size)
+            vals = trainer.evaluate(state["params"], val_ds, local_bs)
             logger.info("epoch %d %s %s", epoch, split, vals)
             metrics.log(vals, step=it, prefix=f"{split}/")
     metrics.close()

@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from visitron_tpu.models import BertConfig, PretrainModel, pretrain_loss
-from visitron_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from visitron_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from visitron_tpu.train.optim import adamw_with_warmup
 
 
@@ -122,13 +122,14 @@ class PretrainTrainer:
     def step_fn(self):
         if self._step_fn is not None:
             return self._step_fn
-        data = batch_sharding(self.mesh)
         step = self.raw_step_fn()
 
         def run(state, host_batch):
-            batch = jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x), data), host_batch)
-            return step(state, batch)
+            # shard_batch: single-host device_put scatter over dp; multi-host
+            # assembles each host's local slice into one global array
+            # (make_array_from_process_local_data) — a raw device_put of
+            # host-local data to a multi-process sharding is an error.
+            return step(state, shard_batch(self.mesh, host_batch))
 
         self._step_fn = run
         return run
@@ -136,16 +137,13 @@ class PretrainTrainer:
     def eval_fn(self):
         if self._eval_fn is not None:
             return self._eval_fn
-        data = batch_sharding(self.mesh)
-
         @jax.jit
         def evaluate(params, batch):
             _, bundle = self._loss_fn(params, batch, jax.random.PRNGKey(0), True)
             return bundle
 
         def run(params, host_batch):
-            batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), data), host_batch)
-            return evaluate(params, batch)
+            return evaluate(params, shard_batch(self.mesh, host_batch))
 
         self._eval_fn = run
         return run
@@ -153,9 +151,12 @@ class PretrainTrainer:
     # -- loops -----------------------------------------------------------------
     def train_epoch(self, state, dataset, batch_size: int, log_every: int = 50,
                     logger=None) -> tuple[dict, list[dict]]:
+        """``batch_size`` is PER-HOST (the host's slice of the global batch)."""
         step = self.step_fn()
         history = []
-        for i, batch in enumerate(dataset.epoch_batches(batch_size)):
+        for i, batch in enumerate(dataset.epoch_batches(
+                batch_size, host_id=jax.process_index(),
+                num_hosts=jax.process_count())):
             state, bundle = step(state, batch)
             if (i + 1) % log_every == 0:
                 metrics = {k: float(v) for k, v in bundle.items()}
@@ -165,10 +166,15 @@ class PretrainTrainer:
         return state, history
 
     def evaluate(self, params, dataset, batch_size: int) -> dict[str, float]:
+        """``batch_size`` is PER-HOST.  The jitted bundle means are global
+        (computed over the assembled dp batch), so every host accumulates
+        identical metrics — no cross-host reduction needed."""
         ev = self.eval_fn()
         sums: dict[str, float] = {}
         n = 0
-        for batch in dataset.epoch_batches(batch_size, shuffle=False):
+        for batch in dataset.epoch_batches(
+                batch_size, shuffle=False, host_id=jax.process_index(),
+                num_hosts=jax.process_count()):
             bundle = ev(params, batch)
             for k, v in bundle.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
