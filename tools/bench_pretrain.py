@@ -43,7 +43,7 @@ def _batch(rng, vocab, img_dim, batch):
 
 
 def run(batch: int, use_flash: bool = False, remat: bool = False,
-        use_fused: bool = True) -> dict:
+        use_fused: bool = True, bf16_adam: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,7 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
                      type_vocab_size=4, dtype=jnp.bfloat16,
                      use_flash_attention=use_flash, remat=remat,
                      use_fused_attention=use_fused)
-    trainer = PretrainTrainer(cfg, total_steps=100)
+    trainer = PretrainTrainer(cfg, total_steps=100, bf16_adam_moments=bf16_adam)
     rng = np.random.default_rng(0)
     batches = [_batch(rng, cfg.vocab_size, cfg.img_feature_dim, batch)
                for _ in range(2)]
@@ -74,7 +74,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
            "value": round(batch / (ms / 1000.0) /
                           max(jax.local_device_count(), 1), 2),
            "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
-           "fused": use_fused, "remat": remat, "ms_per_step": round(ms, 2)}
+           "fused": use_fused, "remat": remat, "bf16_adam": bf16_adam,
+           "ms_per_step": round(ms, 2)}
     try:
         cost = raw.lower(state, jb[0]).compile().cost_analysis()
         if isinstance(cost, list):
@@ -97,13 +98,19 @@ if __name__ == "__main__":
     # 0.84 true MFU); batch >=24 fits HBM but hits XLA auto-remat and
     # craters (239 / 1884 ms at 24 / 32), so no point probing past 32 —
     # scale global batch across the dp mesh instead.
-    for batch, flash, remat, fused in (
-            (16, False, False, False),   # round-2 configuration (control)
-            (8, False, False, True), (16, False, False, True),
-            (24, False, False, True), (32, False, False, True),
-            (32, False, True, True)):
+    # bf16_adam rows: half the optimizer state (440 MB on BERT-base) — probes
+    # whether the batch >= 24 XLA auto-remat cliff is HBM-pressure-driven.
+    for batch, flash, remat, fused, bf16_adam in (
+            (16, False, False, False, False),   # round-2 configuration (control)
+            (8, False, False, True, False), (16, False, False, True, False),
+            (24, False, False, True, False), (32, False, False, True, False),
+            (32, False, True, True, False),
+            (16, False, False, True, True), (24, False, False, True, True),
+            (32, False, False, True, True)):
         try:
-            print(json.dumps(run(batch, flash, remat, fused)), flush=True)
+            print(json.dumps(run(batch, flash, remat, fused, bf16_adam)),
+                  flush=True)
         except Exception as e:  # OOM configs report instead of crash
             print(json.dumps({"batch": batch, "flash": flash, "remat": remat,
-                              "fused": fused, "error": str(e)[:160]}), flush=True)
+                              "fused": fused, "bf16_adam": bf16_adam,
+                              "error": str(e)[:160]}), flush=True)
