@@ -157,13 +157,29 @@ def test_scene_extractor_end_to_end(world, tmp_path):
 
 def test_scene_extract_all_batched_matches_per_viewpoint(world):
     """extract_all's multi-panorama batching (viewpoints_per_batch=2, final
-    odd batch zero-padded) must reproduce per-viewpoint extraction exactly."""
+    odd batch zero-padded) must reproduce per-viewpoint extraction exactly.
+
+    The subject is the _flush slicing/padding logic, so the ResNet forward is
+    replaced by a cheap per-image reduction that still distinguishes every
+    image (two ResNet-50 compiles added ~45 s of suite wall for no extra
+    coverage); the real backbone path is covered by
+    test_scene_extractor_end_to_end."""
     import copy
 
     from visitron_tpu.pipelines.scene_features import SceneFeatureExtractor
 
     ex = SceneFeatureExtractor.random_init(depth=50, image_hw=(32, 32))
     assert ex.viewpoints_per_batch == 2
+    shapes_seen = []
+
+    def stub_forward(params, images):
+        shapes_seen.append(tuple(images.shape))
+        # (N, H, W, 3) -> (N, 2048): image-dependent, padding-sensitive.
+        flat = images.reshape(images.shape[0], -1)
+        return np.tile(np.asarray(flat.mean(axis=1, keepdims=True)), (1, 2048)) \
+            + np.asarray(flat[:, :2048])
+
+    ex._forward = stub_forward
     scan = world.scans[0]
     g = copy.copy(world.graphs[scan])
     g.viewpoints = g.viewpoints[:3]  # odd count -> exercises the padded flush
@@ -171,9 +187,14 @@ def test_scene_extract_all_batched_matches_per_viewpoint(world):
     got = ex.extract_all({scan: g}, lambda s, vp: panos[vp])
     assert set(got) == {f"{scan}_{vp}" for vp in g.viewpoints}
     for vp in g.viewpoints:
-        np.testing.assert_allclose(got[f"{scan}_{vp}"],
-                                   ex.extract_viewpoint(panos[vp]),
-                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            got[f"{scan}_{vp}"],
+            stub_forward(None, np.asarray(panos[vp], np.float32)),
+            rtol=1e-5, atol=1e-5)
+    # Exactly ONE batched shape: the padded final flush reuses the
+    # steady-state (2*36, H, W, 3) variant instead of compiling a second.
+    batched = {s for s in shapes_seen if s[0] == 72}
+    assert len(batched) == 1 and all(s[0] == 72 for s in shapes_seen[:2]), shapes_seen
 
 
 def test_region_extractor_end_to_end(world, tmp_path):
