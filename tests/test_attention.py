@@ -362,3 +362,112 @@ def test_fused_mesh_gate(monkeypatch):
     assert not A.attention_supports_fused_mesh(mesh, 256, 256, 64, 8, 9)   # h % tp
     assert not A.attention_supports_fused_mesh(mesh, 96, 96, 64, 8, 12)    # S gate
     assert not A.attention_supports_fused_mesh(None, 256, 256, 64, 8, 12)
+
+
+# -- flash_attention_mesh: the shard_map wrapper (multi-chip long-S path) ----
+
+
+def test_flash_mesh_matches_jnp_attention():
+    """shard_map-wrapped blockwise flash kernel (interpret, 4x2 CPU mesh) ==
+    jnp attention, forward AND gradients, on a non-square (Q != K) shape —
+    the long-joint-sequence regime the fused kernel's VMEM gate excludes."""
+    from visitron_tpu.ops.attention import flash_attention_mesh
+    from visitron_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, tp=2)
+    rng = np.random.default_rng(12)
+    b, h, qs, ks, d = 4, 4, 256, 384, 64  # local shards: (1, 2, 256/384, 64)
+    q = jnp.asarray(rng.standard_normal((b, h, qs, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, ks, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, ks, d)), jnp.float32)
+    keep = np.ones((b, ks), np.float32)
+    keep[0, 300:] = 0.0
+    keep[2, 128:] = 0.0
+    key_bias = jnp.asarray((1.0 - keep) * NEG_INF)
+
+    def loss_mesh(q, k, v):
+        return flash_attention_mesh(q, k, v, key_bias, None, 0.0,
+                                    mesh=mesh, interpret=True).sum()
+
+    def loss_ref(q, k, v):
+        return multi_head_attention(q, k, v,
+                                    bias=key_bias[:, None, None, :]).sum()
+
+    got = flash_attention_mesh(q, k, v, key_bias, None, 0.0,
+                               mesh=mesh, interpret=True)
+    ref = multi_head_attention(q, k, v, bias=key_bias[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    gm = jax.grad(loss_mesh, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_mesh_dropout_decorrelated_across_shards():
+    """Under dropout, every dp shard folds its mesh coordinates into the
+    seed (no two devices reuse a mask stream), and fwd+bwd stay consistent:
+    both match a jnp reference applying the SAME reconstructed per-shard
+    masks (flash kernels hash absolute (q, k) coordinates, so the
+    reconstruction is block-layout independent)."""
+    from visitron_tpu.ops.attention import (_keep_mask, _threshold,
+                                            flash_attention_mesh)
+    from visitron_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, tp=1)
+    rng = np.random.default_rng(13)
+    b, h, s, d = 4, 2, 128, 64  # local shards: (1, 2, 128, 64)
+    rate, seed = 0.4, 33
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.5, jnp.float32)
+    bias = jnp.zeros((b, s), jnp.float32)
+
+    # Reconstruct each shard's mask: local_b=1, so shard bi holds batch item
+    # bi with per-shard seed = seed + bi*1000003 (tp index 0), and local bh
+    # index = head index.
+    masks = np.zeros((b, h, s, s), bool)
+    for bi in range(b):
+        shard_seed = np.uint32(np.int32(seed) + np.int32(bi) * np.int32(1000003))
+        for hh in range(h):
+            mix = jnp.uint32(shard_seed) ^ (jnp.uint32(hh) * jnp.uint32(0xC2B2AE3D))
+            masks[bi, hh] = np.asarray(
+                _keep_mask(mix, 0, 0, (s, s), _threshold(rate)))
+    mask = jnp.asarray(masks)
+    assert not np.array_equal(masks[0], masks[1])
+
+    def ref_loss(q, k, v):
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(d), -1)
+        p = jnp.where(mask, p, 0.0) / (1.0 - rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v).sum()
+
+    def mesh_loss(q, k, v):
+        return flash_attention_mesh(q, k, v, bias, jnp.int32(seed), rate,
+                                    mesh=mesh, interpret=True).sum()
+
+    np.testing.assert_allclose(np.asarray(mesh_loss(q, k, v)),
+                               np.asarray(ref_loss(q, k, v)), rtol=2e-4)
+    gm = jax.grad(mesh_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_flash_mesh_gate(monkeypatch):
+    """attention_supports_flash_mesh: divisibility over the mesh axes plus
+    the per-shard single-device flash gate (Q may differ from K)."""
+    from visitron_tpu.ops import attention as A
+    from visitron_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    mesh = make_mesh(dp=4, tp=2)
+    assert A.attention_supports_flash_mesh(mesh, 1024, 1024, 64, 8, 12)
+    assert A.attention_supports_flash_mesh(mesh, 1024, 1280, 128, 4, 2)
+    assert not A.attention_supports_flash_mesh(mesh, 1024, 1024, 64, 6, 12)  # b % dp
+    assert not A.attention_supports_flash_mesh(mesh, 1024, 1024, 64, 8, 9)   # h % tp
+    assert not A.attention_supports_flash_mesh(mesh, 1000, 1024, 64, 8, 12)  # tiling
+    assert not A.attention_supports_flash_mesh(None, 1024, 1024, 64, 8, 12)

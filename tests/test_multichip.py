@@ -101,10 +101,11 @@ def test_dryrun_never_allocates_tpu():
 def test_mesh_routes_pallas_attention():
     """Pallas kernels are Mosaic custom calls GSPMD cannot partition: every
     mesh-aware agent/trainer must route its config through config_for_mesh,
-    which on a >1-device mesh disables the (wrapper-less) flash path and
-    attaches the mesh so self-attention takes the shard_map-wrapped fused
-    kernel (models/bert.py:config_for_mesh, ops/attention.py:
-    fused_attention_mesh); single-device configs pass through untouched."""
+    which on a >1-device mesh attaches the mesh so self-attention takes the
+    shard_map-wrapped kernels (models/bert.py:config_for_mesh,
+    ops/attention.py: fused_attention_mesh / flash_attention_mesh; the
+    plain kernels are gated off whenever attention_mesh is set);
+    single-device configs pass through untouched."""
     from visitron_tpu.models import BertConfig, config_for_mesh
 
     cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
@@ -112,8 +113,8 @@ def test_mesh_routes_pallas_attention():
                      use_fused_attention=True, use_flash_attention=True)
     mesh = make_mesh(dp=4, tp=2)
     out = config_for_mesh(cfg, mesh)
-    assert not out.use_flash_attention
     assert out.use_fused_attention and out.attention_mesh is mesh
+    assert out.use_flash_attention  # long-S shapes route via flash_attention_mesh
     assert config_for_mesh(cfg, None) is cfg
     one = make_mesh(dp=1, tp=1)
     assert config_for_mesh(cfg, one) is cfg
@@ -131,7 +132,6 @@ def test_mesh_routes_pallas_attention():
     meshed = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
                             max_seq_length=64, mesh=mesh)
     assert meshed.cfg.attention_mesh is mesh
-    assert not meshed.cfg.use_flash_attention
     solo = ViewpointAgent(cfg, rt, feature_dim=16, episode_len=2,
                           max_seq_length=64)
     assert solo.cfg.attention_mesh is None

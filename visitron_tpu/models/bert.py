@@ -24,10 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from visitron_tpu.ops.attention import (attention_supports_flash,
+                                        attention_supports_flash_mesh,
                                         attention_supports_fused,
                                         attention_supports_fused_mesh,
-                                        flash_attention, fused_attention,
-                                        fused_attention_mesh,
+                                        flash_attention, flash_attention_mesh,
+                                        fused_attention, fused_attention_mesh,
                                         multi_head_attention)
 from visitron_tpu.ops.masking import make_attention_bias
 
@@ -84,17 +85,16 @@ def config_for_mesh(cfg: BertConfig, mesh) -> BertConfig:
     containing one either fails to compile or silently replicates the
     attention operands (all-gathering the batch/head shards), defeating the
     sharding.  Every mesh-aware agent/trainer routes its config through
-    here before building submodules.  The fused kernel stays available via
-    the shard_map wrapper (``attention_mesh`` ->
-    ops.attention.fused_attention_mesh, gated per shape at the call site);
-    the blockwise flash path has no mesh wrapper and is disabled outright —
-    shapes that don't fit the fused gate take XLA attention, which
-    partitions cleanly."""
+    here before building submodules.  Both kernels stay available via their
+    shard_map wrappers (``attention_mesh`` ->
+    ops.attention.fused_attention_mesh / flash_attention_mesh, gated per
+    shape at the call site); shapes that fit neither mesh gate take XLA
+    attention, which partitions cleanly."""
     if mesh is None or getattr(mesh, "size", 1) <= 1:
         return cfg
     if not (cfg.use_fused_attention or cfg.use_flash_attention):
         return cfg
-    return cfg.replace(use_flash_attention=False, attention_mesh=mesh)
+    return cfg.replace(attention_mesh=mesh)
 
 
 def _dense(features, cfg: BertConfig, name=None, use_bias=True):
@@ -177,9 +177,20 @@ class BertSelfAttention(nn.Module):
             fused_ok and cfg.attention_mesh is None
             and attention_supports_fused(q_len, k_len, d)
         )
+        # Long-sequence blockwise kernel: with a mesh attached the plain
+        # kernel is never used (GSPMD cannot partition it) — the shard_map
+        # wrapper takes over when batch/heads divide the mesh axes.
+        use_flash_mesh = (
+            not (use_fused or use_fused_mesh)
+            and cfg.use_flash_attention and key_bias_ok
+            and cfg.attention_mesh is not None
+            and attention_supports_flash_mesh(cfg.attention_mesh,
+                                              q_len, k_len, d, b, h)
+        )
         use_flash = (
             not (use_fused or use_fused_mesh)
             and cfg.use_flash_attention and key_bias_ok
+            and cfg.attention_mesh is None
             and attention_supports_flash(q_len, k_len, d)
         )
         if use_fused or use_fused_mesh:
@@ -195,7 +206,7 @@ class BertSelfAttention(nn.Module):
             else:
                 ctx = fused_attention(split(q), split(k), split(v),
                                       bias[:, 0, 0, :], seed, rate)
-        elif use_flash:
+        elif use_flash or use_flash_mesh:
             # Training path included: attention-prob dropout is fused into the
             # kernels (mask recomputed in bwd from a position hash) — the
             # (B, H, Q, K) probability tensor never touches HBM.
@@ -204,8 +215,13 @@ class BertSelfAttention(nn.Module):
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
-            ctx = flash_attention(split(q), split(k), split(v), bias[:, 0, 0, :],
-                                  seed, rate)
+            if use_flash_mesh:
+                ctx = flash_attention_mesh(split(q), split(k), split(v),
+                                           bias[:, 0, 0, :], seed, rate,
+                                           mesh=cfg.attention_mesh)
+            else:
+                ctx = flash_attention(split(q), split(k), split(v),
+                                      bias[:, 0, 0, :], seed, rate)
         else:
             ctx = multi_head_attention(
                 split(q), split(k), split(v), bias=bias,

@@ -385,6 +385,66 @@ def attention_supports_flash(q_len: int, k_len: int, head_dim: int) -> bool:
     )
 
 
+def attention_supports_flash_mesh(mesh, q_len: int, k_len: int,
+                                  head_dim: int, batch: int,
+                                  num_heads: int) -> bool:
+    """Gate for :func:`flash_attention_mesh`: per-shard shapes must pass the
+    single-device flash gate, and batch/heads must divide the mesh axes
+    (attention is sharded over (B -> dp, H -> tp); Q/K stay whole)."""
+    if mesh is None:
+        return False
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp, tp = axes.get("dp", 1), axes.get("tp", 1)
+    return (
+        set(mesh.axis_names) == {"dp", "tp"}
+        and batch % dp == 0
+        and num_heads % tp == 0
+        and attention_supports_flash(q_len, k_len, head_dim)
+    )
+
+
+def flash_attention_mesh(q, k, v, key_bias, dropout_seed=None,
+                         dropout_rate: float = 0.0, *, mesh,
+                         block_q: int = 128, block_k: int = 128,
+                         interpret: bool = False):
+    """:func:`flash_attention` under a (dp, tp) device mesh via shard_map.
+
+    Same pattern as :func:`fused_attention_mesh` (GSPMD cannot partition
+    Mosaic custom calls; attention is embarrassingly parallel over
+    (batch, heads)), but wrapping the blockwise flash kernel so long joint
+    sequences (S > 768, past the fused kernel's VMEM gate) keep a Pallas
+    path on multi-chip meshes instead of falling back to XLA attention.
+    Each shard folds its (dp, tp) coordinates into the dropout seed so no
+    two devices reuse a mask stream; the same offset is recomputed inside
+    the vjp, so forward/backward masks agree.  Gate with
+    :func:`attention_supports_flash_mesh`."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    has_seed = dropout_seed is not None
+
+    def body(q, k, v, key_bias, *seed_args):
+        seed = None
+        if has_seed:
+            di = jax.lax.axis_index("dp").astype(jnp.int32)
+            ti = jax.lax.axis_index("tp").astype(jnp.int32)
+            seed = (jnp.asarray(seed_args[0], jnp.int32)
+                    + di * jnp.int32(1000003) + ti * jnp.int32(7919))
+        return flash_attention(q, k, v, key_bias, seed, dropout_rate,
+                               block_q, block_k, interpret)
+
+    in_specs = [P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp")]
+    args = [q, k, v, key_bias]
+    if has_seed:
+        in_specs.append(P())
+        args.append(jnp.asarray(dropout_seed, jnp.int32))
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and every output IS dp/tp-varying by construction here.
+    return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=P("dp", "tp"), check_vma=False)(*args)
+
+
 # ---------------------------------------------------------------------------
 # Small-S fused attention (TPU): one program per head-block, full-S tiles.
 #
