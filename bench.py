@@ -68,7 +68,42 @@ TIMED_STEPS = 20
 from visitron_tpu.utils.benchmark import PEAK_BF16_FLOPS  # noqa: E402
 
 
+def _wait_for_backend(deadline_s: float) -> None:
+    """Ride out a relay outage instead of hanging the driver.
+
+    The remote-relay TPU goes down for stretches during which
+    ``jax.devices()`` blocks indefinitely (no timeout in the client).
+    Probe the backend in a killable subprocess; retry until ``deadline_s``,
+    then exit nonzero with a clear message.  On healthy backends (or CPU
+    hosts) the first probe returns in seconds and costs nothing."""
+    import subprocess
+    import sys
+    import time
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True, text=True)
+            if proc.returncode == 0:
+                return
+            err = proc.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 120 s (relay down?)"
+        remaining = deadline_s - (time.time() - t0)
+        if remaining <= 0:
+            print(f"bench: accelerator backend unreachable after "
+                  f"{attempt} probes over {deadline_s:.0f} s: {err}",
+                  file=sys.stderr)
+            sys.exit(2)
+        time.sleep(min(120, remaining))
+
+
 def main() -> None:
+    _wait_for_backend(float(os.environ.get("BENCH_STARTUP_DEADLINE", 1800)))
     import jax
 
     # Counter-based RBG PRNG: same dropout semantics, ~24% faster than

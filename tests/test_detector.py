@@ -103,6 +103,7 @@ def test_detector_forward_shapes(tiny_detector):
     assert out["boxes"].min() >= 0 and out["boxes"].max() <= 63
 
 
+@pytest.mark.slow
 def test_detector_drives_region_pipeline(tiny_detector):
     """The flax detector slots into the full bottom-up pipeline in place of
     the stub (pipelines/region_features.py)."""
@@ -128,6 +129,7 @@ def test_detector_drives_region_pipeline(tiny_detector):
     assert len(toks) == feats.shape[0]
 
 
+@pytest.mark.slow
 def test_caffe_converter_structure():
     """A synthetic caffe-name dump converts into params that run the model."""
     import jax

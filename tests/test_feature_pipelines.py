@@ -131,6 +131,7 @@ def test_resnet_shapes_and_import():
         np.testing.assert_array_equal(np.asarray(flat_c[k]), np.asarray(flat[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_scene_extractor_end_to_end(world, tmp_path):
     from visitron_tpu.data import read_tsv_img_features
     from visitron_tpu.pipelines.scene_features import SceneFeatureExtractor

@@ -69,12 +69,14 @@ def test_params_tp_sharding_rules():
     assert rules["layer"]["layer_norm"]["scale"].spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as entry
 
     entry.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_never_allocates_tpu():
     """dryrun_multichip is a CPU-mesh correctness check: it must pass even
     when the process's default jax backend is completely broken (MULTICHIP_r02

@@ -18,11 +18,13 @@ _WORKER = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Workers share a cache with each other but not with the 8-device main suite:
-# entries compiled under different XLA flags can be rejected at load time on
-# machine-feature checks, making one worker cold while the other is warm.
-if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    os.environ["JAX_COMPILATION_CACHE_DIR"] += "-multihost"
+# Workers share the suite's persistent compile cache via the inherited
+# JAX_COMPILATION_CACHE_DIR (cache keys include device topology, so 2-device
+# 2-process entries never collide with the 8-device single-process suite's).
+# NOTE: mutating jax env vars here would be a silent no-op — sitecustomize
+# imports jax at interpreter startup, before this script body runs; only
+# jax.config.update(...) after import takes effect (XLA_FLAGS above works
+# because XLA reads it at first backend init, which happens later).
 os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:%PORT%"
 os.environ["JAX_NUM_PROCESSES"] = "2"
 os.environ["JAX_PROCESS_ID"] = sys.argv[1]

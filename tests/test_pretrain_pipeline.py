@@ -124,6 +124,7 @@ def test_mtp_forces_region_token_masking(dataset):
     assert (b["labels"][:, :96][region] == -1).all()
 
 
+@pytest.mark.slow
 def test_pretrain_train_step_runs_and_learns(dataset, tmp_path):
     cfg = BertConfig(
         vocab_size=len(dataset.tokenizer), hidden_size=32, num_hidden_layers=2,

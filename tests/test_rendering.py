@@ -105,6 +105,7 @@ def test_skybox_renderer_from_files(tmp_path):
         assert np.max(np.abs(got - face_rgb[name])) < 0.05, (view, name)
 
 
+@pytest.mark.slow
 def test_renderer_feeds_scene_feature_extractor(tmp_path):
     """The renderer satisfies the image_provider contract of the scene
     pipeline (pipelines/scene_features.py)."""
@@ -131,6 +132,7 @@ def test_renderer_feeds_scene_feature_extractor(tmp_path):
     assert feats[f"{scan}_{vp}"].shape == (36, 2048)
 
 
+@pytest.mark.slow
 def test_extract_cli_end_to_end(tmp_path):
     """run.py extract_scene + extract_regions drive skybox files through the
     full offline pipeline (rendering -> network -> store)."""

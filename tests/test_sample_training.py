@@ -57,6 +57,7 @@ def test_sample_teacher_columns(setup):
                 assert got == expect + off
 
 
+@pytest.mark.slow
 def test_sample_training_decreases_loss(setup):
     agent, batcher, _, _ = setup
     state = agent.init_state()
@@ -109,6 +110,7 @@ def test_extended_feedback_rollout(setup):
         assert len(trajs) == len(batch["scans"])
 
 
+@pytest.mark.slow
 def test_sampled_rollout_reaches_goals_after_training(setup):
     """Student-forced training must still produce goal-reaching argmax
     rollouts on the training set (the reference's default training mode)."""

@@ -79,6 +79,7 @@ def test_teacher_rollout_arrays_follow_shortest_path(world, runtime, batcher):
                 assert d2 <= d1 + 1e-6
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(agent, batcher):
     state = agent.init_state()
     step = agent.train_step_fn()
@@ -144,6 +145,7 @@ def test_test_loop_and_evaluator(world, agent, batcher, instances):
     assert 0.0 <= summary["success_rate"] <= 1.0
 
 
+@pytest.mark.slow
 def test_teacher_training_reaches_goal(world, agent, batcher, instances):
     """After overfitting on a tiny set, argmax rollouts should reach goals
     (the decisive end-to-end signal that supervision/rollout wiring agree)."""
