@@ -131,6 +131,29 @@ def test_resnet_shapes_and_import():
         np.testing.assert_array_equal(np.asarray(flat_c[k]), np.asarray(flat[k]), err_msg=k)
 
 
+def test_resnet_bf16_mode_tracks_fp32():
+    """dtype=bfloat16 runs the convs in bf16 over the SAME fp32 params and
+    stays within bf16-accumulation distance of the fp32 features.  (Feeding
+    bf16 images to the fp32 model is NOT bf16 compute — flax promotes to the
+    param dtype — which is why the mode is a model flag, not an input cast.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from visitron_tpu.models.resnet import ResNet
+
+    m32, m16 = ResNet(depth=50), ResNet(depth=50, dtype=jnp.bfloat16)
+    params = jax.jit(m32.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    a, b = np.asarray(m32.apply(params, x)), np.asarray(m16.apply(params, x))
+    assert m16.apply(params, x).dtype == jnp.float32  # pooled output stays fp32
+    # Near-zero activations make pointwise relative error meaningless on a
+    # random-init net; gauge drift against the feature scale (RMS) instead.
+    scale = np.sqrt((a ** 2).mean())
+    err = np.abs(a - b)
+    assert err.max() < 0.25 * scale and err.mean() < 0.03 * scale, (
+        err.max() / scale, err.mean() / scale)
+
+
 @pytest.mark.slow
 def test_scene_extractor_end_to_end(world, tmp_path):
     from visitron_tpu.data import read_tsv_img_features
