@@ -43,56 +43,70 @@ def main() -> None:
     # -- scene features: ResNet-152 @ 36 x 640 x 480 -------------------------
     from visitron_tpu.models.resnet import ResNet
 
-    model = ResNet(152)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3), jnp.bfloat16))
-
-    def scene_fwd(images):
-        return model.apply(params, images)
+    params = jax.jit(ResNet(152).init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 640, 3), jnp.float32))
 
     # Two panoramas per forward — the pipeline default
     # (SceneFeatureExtractor.viewpoints_per_batch): +11% over single-panorama
     # batches on v5e; 4 panoramas regress (XLA auto-remat near HBM).
+    # dtype arms: bf16 convs (the pipeline default) vs fp32 (torchvision
+    # parity).  NOTE params are fp32 in both — casting the IMAGES to bf16
+    # does not give bf16 convs (flax promotes to the param dtype).
     n_views = 2 * VIEWS
     images = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (n_views, 480, 640, 3)),
-        jnp.bfloat16)
-    ms = time_fn(scene_fwd, images, n_lo=3, n_hi=13)
-    fps = n_views / (ms / 1000.0)
-    total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
-    print(json.dumps({
-        "metric": "scene_feature_frames_per_sec_per_chip",
-        "value": round(fps, 1), "unit": "frames/s/chip",
-        "view_ms": round(ms / n_views, 3), "device": device,
-        "matterport_sweep_hours": round(total_h, 3),
-        "model": "resnet152_bf16_640x480x72",
-    }), flush=True)
+        jnp.float32)
+    for tag, dt in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+        model = ResNet(152, dtype=dt)
+
+        def scene_fwd(p, x, model=model):
+            return model.apply(p, x)
+
+        ms = time_fn(scene_fwd, params, images, n_lo=3, n_hi=13)
+        fps = n_views / (ms / 1000.0)
+        total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
+        print(json.dumps({
+            "metric": "scene_feature_frames_per_sec_per_chip",
+            "value": round(fps, 1), "unit": "frames/s/chip",
+            "view_ms": round(ms / n_views, 3), "device": device,
+            "matterport_sweep_hours": round(total_h, 3),
+            "model": f"resnet152_{tag}_640x480x72",
+            "pipeline_default": dt is jnp.bfloat16,
+        }), flush=True)
 
     # -- region features: bottom-up Faster R-CNN R101 @ 600x600 --------------
     from visitron_tpu.models.detector import FasterRCNN
 
-    det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
-                     num_rois=20, pre_nms_top_n=6000,
-                     caffe_preproc=True, caffe_v1=True)
-    dparams = jax.jit(det.init)(
+    dparams = jax.jit(FasterRCNN(
+        depth=101, num_classes=1601, num_attributes=401, num_rois=20,
+        pre_nms_top_n=6000, caffe_preproc=True, caffe_v1=True).init)(
         jax.random.PRNGKey(1), jnp.zeros((600, 600, 3), jnp.float32))
     image = jnp.asarray(
         np.random.default_rng(1).uniform(0, 1, (600, 600, 3)), jnp.float32)
 
-    def det_fwd(image):
-        out = det.apply(dparams, image)
-        return out["features"], out["cls_prob"], out["attr_prob"], out["boxes"]
+    # fp32 is the pipeline default (exact published-VG-weight parity for
+    # boxes/NMS); the bf16-backbone arm quantifies the opt-in speedup.
+    for tag, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
+                         num_rois=20, pre_nms_top_n=6000,
+                         caffe_preproc=True, caffe_v1=True, dtype=dt)
 
-    ms = time_fn(det_fwd, image, n_lo=2, n_hi=10)
-    fps = 1000.0 / ms
-    total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
-    print(json.dumps({
-        "metric": "region_feature_frames_per_sec_per_chip",
-        "value": round(fps, 2), "unit": "frames/s/chip",
-        "frame_ms": round(ms, 2), "device": device,
-        "matterport_sweep_hours": round(total_h, 2),
-        "model": "fasterrcnn_r101_vg_600x600_prenms6000_rois20",
-    }), flush=True)
+        def det_fwd(p, x, det=det):
+            out = det.apply(p, x)
+            return (out["features"], out["cls_prob"], out["attr_prob"],
+                    out["boxes"])
+
+        ms = time_fn(det_fwd, dparams, image, n_lo=2, n_hi=10)
+        fps = 1000.0 / ms
+        total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
+        print(json.dumps({
+            "metric": "region_feature_frames_per_sec_per_chip",
+            "value": round(fps, 2), "unit": "frames/s/chip",
+            "frame_ms": round(ms, 2), "device": device,
+            "matterport_sweep_hours": round(total_h, 2),
+            "model": f"fasterrcnn_r101_vg_600x600_prenms6000_rois20_{tag}",
+            "pipeline_default": dt is jnp.float32,
+        }), flush=True)
 
 
 if __name__ == "__main__":

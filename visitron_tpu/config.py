@@ -113,6 +113,13 @@ class RunConfig:
     # Store Adam first/second moments in bfloat16 (arithmetic stays fp32).
     # Halves optimizer-state HBM traffic; see train/optim.py:scale_by_adam_lowp.
     bf16_adam_moments: bool = False
+    # Conv compute dtype for the offline feature extractors.  "default" =
+    # per-pipeline: extract_scene runs bfloat16 (1.64x faster on v5e at ~2%
+    # mean drift of the globally pooled features), extract_regions runs
+    # float32 (bf16 backbone drift can flip which boxes survive NMS, so
+    # published-VG-weight parity keeps fp32 unless asked).  Explicit
+    # "bfloat16"/"float32" forces both pipelines.
+    feature_extract_dtype: str = "default"
     # Length-grouped shuffle batching: window (in batches) within which
     # instances are ordered by dialog length so padded length per batch stays
     # near its own maximum (pack_padded work-skipping equivalent); 0/1 = off.
@@ -142,6 +149,10 @@ class RunConfig:
             raise ValueError(f"--scheduler must be linear or constant, got {self.scheduler!r}")
         if self.rng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):
             raise ValueError(f"invalid --rng_impl {self.rng_impl!r}")
+        if self.feature_extract_dtype not in ("default", "bfloat16", "float32"):
+            raise ValueError(f"--feature_extract_dtype must be default, "
+                             f"bfloat16 or float32, got "
+                             f"{self.feature_extract_dtype!r}")
         if not (0.0 <= self.aug_keep_fraction <= 1.0):
             raise ValueError(
                 f"--aug_keep_fraction must be in [0, 1] (0 disables the "

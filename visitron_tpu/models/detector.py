@@ -35,6 +35,7 @@ detector for tests and --debug runs.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -202,6 +203,11 @@ class ConvBody(nn.Module):
     depth: int = 101
     caffe_preproc: bool = False
     caffe_v1: bool = False
+    # Compute dtype for the backbone convs (fp32 default = exact caffe/torch
+    # parity; bf16 doubles MXU throughput at a small feature drift — see
+    # models/resnet.py).  Output feature map is cast back to fp32 so the RPN
+    # logits and box regression numerics are dtype-independent.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -212,9 +218,10 @@ class ConvBody(nn.Module):
             x = x[..., ::-1] * 255.0 - CAFFE_PIXEL_MEANS
         else:
             x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
+                    use_bias=False, name="conv1", dtype=self.dtype)(x)
+        x = FrozenBatchNorm(64, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         # caffe pool1 is k3 s2 pad0 ceil-mode (windows anchored at pixel 0,
         # implicit bottom/right pad); torch-style is pad1 both sides.  Same
@@ -227,10 +234,10 @@ class ConvBody(nn.Module):
             for bi in range(n):
                 stride = 2 if (si > 0 and bi == 0) else 1
                 x = Bottleneck(width, strides=stride, downsample=bi == 0,
-                               caffe_v1=self.caffe_v1,
+                               caffe_v1=self.caffe_v1, dtype=self.dtype,
                                name=f"layer{si + 1}_{bi}")(x)
             width *= 2
-        return x  # (H/16, W/16, 1024)
+        return x.astype(jnp.float32)  # (H/16, W/16, 1024)
 
 
 class Conv5Head(nn.Module):
@@ -238,14 +245,17 @@ class Conv5Head(nn.Module):
 
     depth: int = 101
     caffe_v1: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rois):  # (N, 14, 14, 1024)
-        x = rois
+        x = rois.astype(self.dtype)
         for bi in range(STAGE_BLOCKS[self.depth][3]):
             x = Bottleneck(512, strides=2 if bi == 0 else 1, downsample=bi == 0,
-                           caffe_v1=self.caffe_v1, name=f"layer4_{bi}")(x)
-        return jnp.mean(x, axis=(1, 2))  # (N, 2048)
+                           caffe_v1=self.caffe_v1, dtype=self.dtype,
+                           name=f"layer4_{bi}")(x)
+        # Pool in fp32: these are the published region features.
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, 2048)
 
 
 class RPN(nn.Module):
@@ -276,6 +286,9 @@ class FasterRCNN(nn.Module):
     anchor_ratios: tuple = ANCHOR_RATIOS
     caffe_preproc: bool = False
     caffe_v1: bool = False  # original stride placement + pool alignment
+    # Backbone/head conv compute dtype; proposals, NMS, box decode and the
+    # classifier/attr heads always run fp32 (see ConvBody.dtype).
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image):
@@ -283,7 +296,7 @@ class FasterRCNN(nn.Module):
         attr_prob, features, bbox_deltas)."""
         h, w = image.shape[0], image.shape[1]
         feat = ConvBody(self.depth, self.caffe_preproc, self.caffe_v1,
-                        name="body")(image[None])[0]
+                        dtype=self.dtype, name="body")(image[None])[0]
         fh, fw = feat.shape[0], feat.shape[1]
         logits, deltas = RPN(name="rpn")(feat[None])
         a = len(self.anchor_scales) * len(self.anchor_ratios)
@@ -309,7 +322,8 @@ class FasterRCNN(nn.Module):
         boxes = top_boxes[keep]
         scores = keep_scores
         rois = roi_align(feat, boxes, self.roi_size)
-        pooled = Conv5Head(self.depth, self.caffe_v1, name="head")(rois)  # (R, 2048)
+        pooled = Conv5Head(self.depth, self.caffe_v1, dtype=self.dtype,
+                           name="head")(rois)  # (R, 2048)
         cls_logits = nn.Dense(self.num_classes, name="cls_score")(pooled)
         cls_prob = jax.nn.softmax(cls_logits, axis=-1)
         bbox_deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(pooled)

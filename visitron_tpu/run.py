@@ -342,14 +342,19 @@ def run_extract_scene(cfg: RunConfig):
     # --debug shrinks the render for fast smoke runs.
     w, h = (64, 48) if cfg.debug and not cfg.resnet_checkpoint else (640, 480)
     renderer = SkyboxRenderer(cfg.matterport_dir, image_w=w, image_h=h, vfov=60)
+    import jax.numpy as jnp
+
+    # "default" = bf16 for scene features (config.py:feature_extract_dtype).
+    dt = (jnp.float32 if cfg.feature_extract_dtype == "float32"
+          else jnp.bfloat16)
     if cfg.resnet_checkpoint:
         ex = SceneFeatureExtractor.from_torch_checkpoint(
-            cfg.resnet_checkpoint, image_w=w, image_h=h, vfov=60)
+            cfg.resnet_checkpoint, image_w=w, image_h=h, vfov=60, dtype=dt)
     else:
         logger.warning("no --resnet_checkpoint; using a randomly initialized "
                        "backbone (debug only)")
         ex = SceneFeatureExtractor.random_init(
-            depth=50, image_hw=(h, w), image_w=w, image_h=h, vfov=60)
+            depth=50, image_hw=(h, w), image_w=w, image_h=h, vfov=60, dtype=dt)
     out = cfg.img_feature_file or f"{cfg.output_dir}/scene_features.tsv"
     ex.extract_all(_extract_graphs(cfg), renderer, out_tsv=out, logger=logger)
     logger.info("wrote scene features to %s", out)
@@ -374,8 +379,15 @@ def run_extract_regions(cfg: RunConfig):
     renderer = SkyboxRenderer(cfg.matterport_dir, image_w=side, image_h=side,
                               vfov=80)
     if cfg.detector_weights:
+        import jax.numpy as jnp
+
         state = dict(np_.load(cfg.detector_weights, allow_pickle=True))
-        detector = BottomUpDetector.from_caffe_dump(state)
+        # "default" = fp32 for the detector: bf16 backbone drift can flip
+        # which boxes survive NMS (config.py:feature_extract_dtype).
+        detector = BottomUpDetector.from_caffe_dump(
+            state, dtype=(jnp.bfloat16
+                          if cfg.feature_extract_dtype == "bfloat16"
+                          else jnp.float32))
         classes = open(cfg.objects_vocab).read().splitlines()
         attributes = open(cfg.attributes_vocab).read().splitlines()
     elif cfg.debug:
