@@ -103,6 +103,25 @@ def test_detector_forward_shapes(tiny_detector):
     assert out["boxes"].min() >= 0 and out["boxes"].max() <= 63
 
 
+def test_detect_batch_matches_sequential(tiny_detector):
+    """detect_batch (one vmapped dispatch per panorama) returns exactly the
+    per-image results of the single-image path — same proposals, NMS
+    survivors, features."""
+    rng = np.random.default_rng(3)
+    images = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    batched = tiny_detector.detect_batch(images)
+    assert len(batched) == 4
+    for i in range(4):
+        single = tiny_detector(images[i])
+        assert set(single) == set(batched[i])
+        for k in single:
+            # vmapped and single-image programs compile to different XLA
+            # fusions, so conv outputs drift in the last ~1e-4; identical
+            # box SETS and shapes are the real contract.
+            np.testing.assert_allclose(batched[i][k], single[k], rtol=1e-3,
+                                       atol=1e-2, err_msg=f"img {i} {k}")
+
+
 @pytest.mark.slow
 def test_detector_drives_region_pipeline(tiny_detector):
     """The flax detector slots into the full bottom-up pipeline in place of

@@ -359,7 +359,16 @@ class BottomUpDetector:
         def forward(params, image):
             return self.model.apply(params, image)
 
+        # Batched variant: the single-image graph is latency-bound on TPU
+        # (RPN -> top-k -> NMS -> ROI chain leaves the MXU idle between
+        # stages; conv dtype measurably doesn't matter at batch 1 —
+        # VALIDATION.md), so the pipeline amortizes a panorama per dispatch.
+        @jax.jit
+        def forward_batch(params, images):
+            return jax.vmap(self.model.apply, in_axes=(None, 0))(params, images)
+
         self._forward = forward
+        self._forward_batch = forward_batch
 
     @classmethod
     def random_init(cls, num_classes: int = 32, num_attributes: int = 8,
@@ -381,15 +390,27 @@ class BottomUpDetector:
         return cls(params={"params": convert_caffe_bottomup(state, depth)},
                    model=model)
 
-    def __call__(self, image: np.ndarray) -> dict:
-        out = self._forward(self.params, jnp.asarray(image, jnp.float32))
-        out = {k: np.asarray(v) for k, v in out.items()}
+    @staticmethod
+    def _strip_padding(out: dict) -> dict:
         # Fixed-shape padding rows carry sentinel scores; drop them on host so
         # the post-processing sees only real proposals.
         live = out["scores"] > np.finfo(np.float32).min / 2
         return {"boxes": out["boxes"][live], "cls_prob": out["cls_prob"][live],
                 "attr_prob": out["attr_prob"][live],
                 "features": out["features"][live]}
+
+    def __call__(self, image: np.ndarray) -> dict:
+        out = self._forward(self.params, jnp.asarray(image, jnp.float32))
+        return self._strip_padding({k: np.asarray(v) for k, v in out.items()})
+
+    def detect_batch(self, images: np.ndarray) -> list[dict]:
+        """(N, H, W, 3) -> N per-image result dicts, ONE device dispatch.
+        Keep N fixed across calls (e.g. always a 36-view panorama) so a
+        single jit variant exists."""
+        out = self._forward_batch(self.params, jnp.asarray(images, jnp.float32))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return [self._strip_padding({k: v[i] for k, v in out.items()})
+                for i in range(images.shape[0])]
 
 
 def _caffe_stage_names(depth: int):

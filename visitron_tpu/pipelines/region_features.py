@@ -81,7 +81,11 @@ class RegionFeatureExtractor:
                      view_elevation: float) -> dict:
         """One rendered view -> deduped record with <=10 boxes, tokens and
         orientation-appended features."""
-        raw = self.detector(image)
+        return self._postprocess(self.detector(image), view_heading,
+                                 view_elevation)
+
+    def _postprocess(self, raw: dict, view_heading: float,
+                     view_elevation: float) -> dict:
         keep = det.select_boxes(raw["boxes"], raw["cls_prob"])
         rec = {
             "boxes": raw["boxes"][keep],
@@ -104,13 +108,22 @@ class RegionFeatureExtractor:
         ``scan_vp_viewIdx`` (reference FeaturesReader layout)."""
         features: dict[bytes, np.ndarray] = {}
         tokens: dict[bytes, list[str]] = {}
+        # One device dispatch per panorama when the detector supports it
+        # (BottomUpDetector.detect_batch): the single-image detection graph is
+        # latency-bound, so batching the 36 views recovers MXU utilization.
+        detect_batch = getattr(self.detector, "detect_batch", None)
         for scan in sorted(graphs):
             g = graphs[scan]
             for vp in g.viewpoints:
                 pano = image_provider(scan, vp)
-                for view in range(geo.NUM_VIEWS):
-                    rec = self.extract_view(
-                        pano[view], geo.heading_of_view(view),
+                if detect_batch is not None:
+                    raws = detect_batch(pano)
+                else:
+                    raws = [self.detector(pano[view])
+                            for view in range(geo.NUM_VIEWS)]
+                for view, raw in enumerate(raws):
+                    rec = self._postprocess(
+                        raw, geo.heading_of_view(view),
                         geo.elevation_of_view(view))
                     key = f"{scan}_{vp}_{view}".encode()
                     features[key] = rec["features"]
