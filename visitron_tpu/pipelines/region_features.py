@@ -76,6 +76,14 @@ class RegionFeatureExtractor:
     image_h: int = 600
     vfov: int = 80
     max_total_boxes: int = det.MAX_TOTAL_BOXES
+    # Views per device dispatch (vmapped detector).  6 is the v5e sweet spot
+    # measured with the lazy-row NMS: 441-463 vs 314 frames/s single-image
+    # (the batch-1 backbone is weight-traffic-bound; batching amortizes it,
+    # 1.82 -> 1.13 ms/frame).  12 regresses (272 f/s, HBM pressure from the
+    # stacked backbone activations) and 18+ crashed the TPU worker in this
+    # environment — keep dispatches small.  Set 1 to force the single-image
+    # path (e.g. detectors without detect_batch fall back automatically).
+    views_per_dispatch: int = 6
 
     def extract_view(self, image: np.ndarray, view_heading: float,
                      view_elevation: float) -> dict:
@@ -108,16 +116,19 @@ class RegionFeatureExtractor:
         ``scan_vp_viewIdx`` (reference FeaturesReader layout)."""
         features: dict[bytes, np.ndarray] = {}
         tokens: dict[bytes, list[str]] = {}
-        # One device dispatch per panorama when the detector supports it
-        # (BottomUpDetector.detect_batch): the single-image detection graph is
-        # latency-bound, so batching the 36 views recovers MXU utilization.
-        detect_batch = getattr(self.detector, "detect_batch", None)
+        detect_batch = (getattr(self.detector, "detect_batch", None)
+                        if self.views_per_dispatch > 1 else None)
         for scan in sorted(graphs):
             g = graphs[scan]
             for vp in g.viewpoints:
                 pano = image_provider(scan, vp)
                 if detect_batch is not None:
-                    raws = detect_batch(pano)
+                    # Keep views_per_dispatch a divisor of 36 — a ragged
+                    # final slice would compile a second jit variant.
+                    raws = [r for s in range(0, geo.NUM_VIEWS,
+                                             self.views_per_dispatch)
+                            for r in detect_batch(
+                                pano[s:s + self.views_per_dispatch])]
                 else:
                     raws = [self.detector(pano[view])
                             for view in range(geo.NUM_VIEWS)]
