@@ -84,28 +84,36 @@ def main() -> None:
     image = jnp.asarray(
         np.random.default_rng(1).uniform(0, 1, (600, 600, 3)), jnp.float32)
 
-    # fp32 is the pipeline default (exact published-VG-weight parity for
-    # boxes/NMS); the bf16-backbone arm quantifies the opt-in speedup.
-    for tag, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
-        det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
-                         num_rois=20, pre_nms_top_n=6000,
-                         caffe_preproc=True, caffe_v1=True, dtype=dt)
+    det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
+                     num_rois=20, pre_nms_top_n=6000,
+                     caffe_preproc=True, caffe_v1=True)
+    # Arms: the pipeline default (6 views per vmapped dispatch — the batch-1
+    # backbone is weight-traffic-bound and batching amortizes it; see
+    # RegionFeatureExtractor.views_per_dispatch) and the single-image
+    # control.  fp32 throughout: conv dtype measured immaterial here.
+    for tag, nimg in (("batch6", 6), ("single", 1)):
+        imgs = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (nimg, 600, 600, 3)),
+            jnp.float32)
 
-        def det_fwd(p, x, det=det):
-            out = det.apply(p, x)
+        def det_fwd(p, x, nimg=nimg):
+            if nimg == 1:
+                out = det.apply(p, x[0])
+            else:
+                out = jax.vmap(det.apply, in_axes=(None, 0))(p, x)
             return (out["features"], out["cls_prob"], out["attr_prob"],
                     out["boxes"])
 
-        ms = time_fn(det_fwd, dparams, image, n_lo=2, n_hi=10)
-        fps = 1000.0 / ms
+        ms = time_fn(det_fwd, dparams, imgs, n_lo=2, n_hi=10)
+        fps = nimg * 1000.0 / ms
         total_h = MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0
         print(json.dumps({
             "metric": "region_feature_frames_per_sec_per_chip",
             "value": round(fps, 2), "unit": "frames/s/chip",
-            "frame_ms": round(ms, 2), "device": device,
+            "frame_ms": round(ms / nimg, 2), "device": device,
             "matterport_sweep_hours": round(total_h, 2),
             "model": f"fasterrcnn_r101_vg_600x600_prenms6000_rois20_{tag}",
-            "pipeline_default": dt is jnp.float32,
+            "pipeline_default": nimg == 6,
         }), flush=True)
 
 
