@@ -84,19 +84,24 @@ def main() -> None:
     image = jnp.asarray(
         np.random.default_rng(1).uniform(0, 1, (600, 600, 3)), jnp.float32)
 
-    det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
-                     num_rois=20, pre_nms_top_n=6000,
-                     caffe_preproc=True, caffe_v1=True)
-    # Arms: the pipeline default (6 views per vmapped dispatch — the batch-1
-    # backbone is weight-traffic-bound and batching amortizes it; see
-    # RegionFeatureExtractor.views_per_dispatch) and the single-image
-    # control.  fp32 throughout: conv dtype measured immaterial here.
-    for tag, nimg in (("batch6", 6), ("single", 1)):
+    # Arms: the pipeline default (6 views per vmapped dispatch, fp32 — the
+    # batch-1 backbone is weight-traffic-bound and batching amortizes it; see
+    # RegionFeatureExtractor.views_per_dispatch), the bf16-backbone opt-in
+    # (--feature_extract_dtype bfloat16 — immaterial at batch 1 but +10% at
+    # batch 6 once weight traffic is amortized; fp32 stays the default
+    # because backbone drift can flip which boxes survive NMS), and the
+    # single-image fp32 control.
+    for tag, nimg, ddt in (("batch6", 6, jnp.float32),
+                           ("batch6-bf16", 6, jnp.bfloat16),
+                           ("single", 1, jnp.float32)):
+        det = FasterRCNN(depth=101, num_classes=1601, num_attributes=401,
+                         num_rois=20, pre_nms_top_n=6000,
+                         caffe_preproc=True, caffe_v1=True, dtype=ddt)
         imgs = jnp.asarray(
             np.random.default_rng(1).uniform(0, 1, (nimg, 600, 600, 3)),
             jnp.float32)
 
-        def det_fwd(p, x, nimg=nimg):
+        def det_fwd(p, x, nimg=nimg, det=det):
             if nimg == 1:
                 out = det.apply(p, x[0])
             else:
@@ -113,7 +118,7 @@ def main() -> None:
             "frame_ms": round(ms / nimg, 2), "device": device,
             "matterport_sweep_hours": round(total_h, 2),
             "model": f"fasterrcnn_r101_vg_600x600_prenms6000_rois20_{tag}",
-            "pipeline_default": nimg == 6,
+            "pipeline_default": nimg == 6 and ddt is jnp.float32,
         }), flush=True)
 
 

@@ -83,6 +83,10 @@ class RegionFeatureExtractor:
     # stacked backbone activations) and 18+ crashed the TPU worker in this
     # environment — keep dispatches small.  Set 1 to force the single-image
     # path (e.g. detectors without detect_batch fall back automatically).
+    # dtype x batch interaction (one-window probe): a bf16 backbone is
+    # immaterial at batch 1 but +10% at batch 6 (503 vs 459 f/s) once weight
+    # traffic is amortized — opt in via --feature_extract_dtype bfloat16;
+    # fp32 stays the default because backbone drift can flip NMS survivors.
     views_per_dispatch: int = 6
 
     def extract_view(self, image: np.ndarray, view_heading: float,

@@ -137,9 +137,12 @@ class ClassifierTrainer:
                       if not isinstance(v, list)}
                 state, loss = step(state, jb)
                 it += 1
-                losses.append(float(loss))
+                # Fetch only at the logging boundary (see finetune.py: a
+                # per-step float() sync defeats async dispatch overlap).
+                losses.append(loss)
                 if it % cfg.logging_steps == 0:
-                    avg = float(np.mean(losses[-cfg.logging_steps:]))
+                    avg = float(np.mean([float(l) for l in losses]))
+                    losses.clear()
                     self.logger.info("iter %d loss %.4f", it, avg)
                     metrics.log({"loss": avg}, step=it)
                 if it % cfg.saving_steps == 0 or it >= cfg.num_iterations:

@@ -163,9 +163,14 @@ class ViewpointTrainer:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
                 profiling = False
-            losses.append(float(loss))
+            # Defer the device->host fetch to the logging boundary: a
+            # per-step float(loss) forces a sync (an RPC round-trip on
+            # remote-attached accelerators) and stops host batch prep from
+            # overlapping device compute via async dispatch.
+            losses.append(loss)
             if it % cfg.logging_steps == 0:
-                avg = float(np.mean(losses[-cfg.logging_steps:]))
+                avg = float(np.mean([float(l) for l in losses]))
+                losses.clear()
                 extra = {k: float(v) for k, v in (aux or {}).items()}
                 self.logger.info("iter %d loss %.4f %s", it, avg, extra or "")
                 metrics.log({"loss": avg, **extra}, step=it)
@@ -243,7 +248,8 @@ class ViewpointTrainer:
                     jb = {k: np.asarray(v) for k, v in batch.items()
                           if not isinstance(v, list)}
                     rng, r = jax.random.split(rng)
-                    losses.append(float(eval_loss(params, jb, r)))
+                    losses.append(eval_loss(params, jb, r))  # fetch after loop
+                losses = [float(l) for l in losses]
                 # Argmax rollout pass.
                 results = self.agent.test(params, batcher.eval_batches(),
                                           feedback="argmax", submit=cfg.submit)

@@ -106,9 +106,12 @@ class TurnBasedTrainer:
             jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
             state, loss = step(state, jb)
             it = start_it + i + 1
-            losses.append(float(loss))
+            # Fetch only at the logging boundary (see finetune.py: a
+            # per-step float() sync defeats async dispatch overlap).
+            losses.append(loss)
             if it % cfg.logging_steps == 0:
-                avg = float(np.mean(losses[-cfg.logging_steps:]))
+                avg = float(np.mean([float(l) for l in losses]))
+                losses.clear()
                 self.logger.info("iter %d loss %.4f", it, avg)
                 metrics.log({"loss": avg}, step=it)
             if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
@@ -142,7 +145,8 @@ class TurnBasedTrainer:
                     jb = {k: np.asarray(v) for k, v in batch.items()
                           if not isinstance(v, list)}
                     rng, r = jax.random.split(rng)
-                    losses.append(float(eval_loss(params, jb, r)))
+                    losses.append(eval_loss(params, jb, r))  # fetch after loop
+                losses = [float(l) for l in losses]
                 results = self.agent.test(params, batcher.eval_batches(),
                                           feedback="argmax")
                 self.agent.results = results
