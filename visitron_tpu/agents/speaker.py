@@ -168,7 +168,14 @@ class SpeakerAgent:
             return step(state, batch, self.runtime)
 
         self._train_step = run
+        self._train_step_jit = step
         return run
+
+    def train_step_jit(self):
+        """Raw jitted train step ``(state, batch, rt)`` — for AOT lowering
+        and on-device-loop benchmarking (ViewpointAgent contract)."""
+        self.train_step_fn()
+        return self._train_step_jit
 
     def eval_loss_fn(self):
         """Deterministic word-CE on held-out (trajectory, text) pairs."""

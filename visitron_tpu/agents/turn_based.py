@@ -178,7 +178,15 @@ class TurnBasedAgent:
                                   self.step_runtime())
 
             self._train_step = run
+            self._train_step_jit = train_step
         return self._train_step
+
+    def train_step_jit(self):
+        """Raw jitted train step ``(state, batch, rt)`` (no host placement) —
+        for AOT lowering and on-device-loop benchmarking (ViewpointAgent
+        contract)."""
+        self.train_step_fn()
+        return self._train_step_jit
 
     def step_runtime(self):
         """Runtime tables for the (possibly mesh-sharded) train step —
