@@ -104,11 +104,22 @@ def main() -> None:
                            max_seq_length=seq, **small_kw)
     batcher = NavEpisodeBatcher(instances, runtime, batch_size=tb_batch,
                                 path_type="trusted_path")
+    from visitron_tpu.agents import ViewpointAgent
+
     batches = []
     for b in batcher.train_batches(4):
         b = batcher.with_turn_teacher(b, tb_T)
-        batches.append({k: np.asarray(v) for k, v in b.items()
-                        if not isinstance(v, list)})
+        b = {k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
+        # The production path length-buckets dialogs (_place_batch ->
+        # ViewpointAgent.trim_batch); time the same shapes it runs.
+        batches.append(ViewpointAgent.trim_batch(b))
+    # Bucket mix must share one jit program per shape: group by seq length
+    # and time the dominant bucket (the stacked pool needs uniform shapes).
+    from collections import Counter
+
+    seqs = Counter(b["ids"].shape[1] for b in batches)
+    dom = seqs.most_common(1)[0][0]
+    batches = [b for b in batches if b["ids"].shape[1] == dom]
     run("turn_based", agent, batches, tb_batch, tb_T)
 
     # -- classifier: per-step question-asking BCE, frozen-nav encode --------
