@@ -64,6 +64,13 @@ def time_step_fn(step_fn: Callable, state, stacked_batches, *, n_lo: int = 5,
     ``step_fn(state, batch, *extra_args)`` as TRACED loop arguments — use for
     device-resident tables (e.g. NavRuntime) so they are never embedded in
     the loop program as HLO constants.
+
+    PITFALL: the pool must contain >= 2 batches with DIFFERENT contents.
+    With a single (or identical) batch the gather is loop-invariant and XLA
+    can hoist any batch-only subcomputation out of the fori_loop — measured
+    on the classifier step, whose frozen deterministic-params encode
+    collapsed from 19 ms to 0.5 ms/step with a pool of one.  Real training
+    feeds a different batch every step; the pool must too.
     """
     pool = jax.tree.leaves(stacked_batches)[0].shape[0]
 
