@@ -81,9 +81,6 @@ def main() -> None:
         depth=101, num_classes=1601, num_attributes=401, num_rois=20,
         pre_nms_top_n=6000, caffe_preproc=True, caffe_v1=True).init)(
         jax.random.PRNGKey(1), jnp.zeros((600, 600, 3), jnp.float32))
-    image = jnp.asarray(
-        np.random.default_rng(1).uniform(0, 1, (600, 600, 3)), jnp.float32)
-
     # Arms: the pipeline default (6 views per vmapped dispatch, fp32 — the
     # batch-1 backbone is weight-traffic-bound and batching amortizes it; see
     # RegionFeatureExtractor.views_per_dispatch), the bf16-backbone opt-in

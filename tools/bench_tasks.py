@@ -33,6 +33,17 @@ FEAT_DIM = 2048
 SMALL = os.environ.get("BENCH_TASKS_SMALL", "0") == "1"
 
 
+def dominant_shape_group(batches: list[dict]) -> list[dict]:
+    """The largest same-shapes subset (one jit program; stackable pool)."""
+    from collections import Counter
+
+    def sig(b):
+        return tuple(sorted((k, v.shape) for k, v in b.items()))
+
+    dom = Counter(sig(b) for b in batches).most_common(1)[0][0]
+    return [b for b in batches if sig(b) == dom]
+
+
 def main() -> None:
     import jax
 
@@ -65,7 +76,12 @@ def main() -> None:
     runtime = NavRuntime.build(world.graphs, table, device_dtype=jnp.bfloat16)
     tok = WordPieceTokenizer(build_wordpiece_vocab(
         [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=4096))
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="bench_tasks_")
+    import atexit
+
+    atexit.register(shutil.rmtree, tmp, True)
     root = world.write_task_data(tmp, counts={"train": 128})
     instances = build_nav_instances(root, ["train"], tok, max_seq_length=seq)
     if SMALL:
@@ -89,6 +105,13 @@ def main() -> None:
         }), flush=True)
 
     def run(name, agent, batches, batch_size, episode_len):
+        # A pool of one (or identical) batches lets XLA hoist batch-only
+        # subcomputations out of the timing loop (utils/benchmark.py PITFALL
+        # — measured 19 -> 0.5 ms on the classifier's frozen encode).
+        assert len(batches) >= 2, f"{name}: timing pool needs >= 2 batches"
+        first = jax.tree.leaves(batches[0])[0]
+        assert not all(np.array_equal(first, jax.tree.leaves(b)[0])
+                       for b in batches[1:]), f"{name}: pool batches identical"
         state = agent.init_state()
         step = agent.train_step_jit()
         stacked = stack_batches(batches)
@@ -107,20 +130,13 @@ def main() -> None:
     from visitron_tpu.agents import ViewpointAgent
 
     batches = []
-    for b in batcher.train_batches(4):
+    for b in batcher.train_batches(8):
         b = batcher.with_turn_teacher(b, tb_T)
         b = {k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
         # The production path length-buckets dialogs (_place_batch ->
         # ViewpointAgent.trim_batch); time the same shapes it runs.
         batches.append(ViewpointAgent.trim_batch(b))
-    # Bucket mix must share one jit program per shape: group by seq length
-    # and time the dominant bucket (the stacked pool needs uniform shapes).
-    from collections import Counter
-
-    seqs = Counter(b["ids"].shape[1] for b in batches)
-    dom = seqs.most_common(1)[0][0]
-    batches = [b for b in batches if b["ids"].shape[1] == dom]
-    run("turn_based", agent, batches, tb_batch, tb_T)
+    run("turn_based", agent, dominant_shape_group(batches), tb_batch, tb_T)
 
     # -- classifier: per-step question-asking BCE, frozen-nav encode --------
     cl_batch, cl_T = (4, 6) if SMALL else (8, 40)
@@ -129,12 +145,14 @@ def main() -> None:
     cagent = ClassifierAgent(cfg, runtime, feature_dim=feat_dim,
                              episode_len=cl_T, max_seq_length=seq, **small_kw)
     cbatches = []
-    for s in range(0, 4 * cl_batch, cl_batch):
+    for s in range(0, 8 * cl_batch, cl_batch):
         idx = [(s + j) % len(cl_instances) for j in range(cl_batch)]
         b = cagent.prepare_batch([cl_instances[i] for i in idx])
         cbatches.append({k: np.asarray(v) for k, v in b.items()
                          if not isinstance(v, list)})
-    run("classifier", cagent, cbatches, cl_batch, cl_T)
+    # prepare_batch shapes vary with content (snapshot length buckets, the
+    # max_encode_events-rounded event dim) — stack only one shape group.
+    run("classifier", cagent, dominant_shape_group(cbatches), cl_batch, cl_T)
 
     # -- speaker: trajectory -> instruction word-CE -------------------------
     sp_batch, sp_T = (8, 4) if SMALL else (64, 10)

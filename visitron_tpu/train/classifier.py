@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from visitron_tpu.agents.classifier import ClassifierAgent
@@ -122,6 +123,14 @@ class ClassifierTrainer:
         instances = self._instances(["train"])[host_id::num_hosts]
         self.logger.info("classifier: %d instances, per-host batch %d, %d iterations",
                          len(instances), bs, cfg.num_iterations)
+        if len(instances) < bs:
+            # The epoch loop below takes full batches only; a shard smaller
+            # than the batch would make zero progress per epoch and spin
+            # forever.  Fail loudly instead.
+            raise ValueError(
+                f"classifier: per-host shard has {len(instances)} instances "
+                f"< batch size {bs}; lower --per_gpu_train_batch_size or add "
+                f"data")
         step = self.agent.train_step_fn()
         metrics = MetricsLogger(cfg.output_dir, "train")
         order = np.arange(len(instances))
@@ -141,7 +150,8 @@ class ClassifierTrainer:
                 # per-step float() sync defeats async dispatch overlap).
                 losses.append(loss)
                 if it % cfg.logging_steps == 0:
-                    avg = float(np.mean([float(l) for l in losses]))
+                    # One stacked fetch, not len(losses) round-trips.
+                    avg = float(jnp.stack(losses).mean())
                     losses.clear()
                     self.logger.info("iter %d loss %.4f", it, avg)
                     metrics.log({"loss": avg}, step=it)

@@ -15,6 +15,7 @@ import os
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from visitron_tpu.agents import ViewpointAgent
@@ -169,7 +170,8 @@ class ViewpointTrainer:
             # overlapping device compute via async dispatch.
             losses.append(loss)
             if it % cfg.logging_steps == 0:
-                avg = float(np.mean([float(l) for l in losses]))
+                # One stacked fetch, not len(losses) sequential round-trips.
+                avg = float(jnp.stack(losses).mean())
                 losses.clear()
                 extra = {k: float(v) for k, v in (aux or {}).items()}
                 self.logger.info("iter %d loss %.4f %s", it, avg, extra or "")
@@ -249,7 +251,7 @@ class ViewpointTrainer:
                           if not isinstance(v, list)}
                     rng, r = jax.random.split(rng)
                     losses.append(eval_loss(params, jb, r))  # fetch after loop
-                losses = [float(l) for l in losses]
+                losses = ([float(jnp.stack(losses).mean())] if losses else [])
                 # Argmax rollout pass.
                 results = self.agent.test(params, batcher.eval_batches(),
                                           feedback="argmax", submit=cfg.submit)
@@ -262,7 +264,7 @@ class ViewpointTrainer:
                 scored = {k: v for k, v in results.items()
                           if k in evaluator.instr_ids}
                 summary, _ = evaluator.score_results(scored)
-                summary["loss"] = float(np.mean(losses))
+                summary["loss"] = float(np.mean(losses)) if losses else 0.0
                 self.logger.info("ckpt %s %s: %s", ckpt_step, split, summary)
                 metrics.log(summary, step=ckpt_step or 0, prefix=f"{split}/")
                 out[(ckpt_step, split)] = summary

@@ -13,6 +13,7 @@ import os
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from visitron_tpu.agents.batcher import NavEpisodeBatcher
@@ -110,7 +111,8 @@ class TurnBasedTrainer:
             # per-step float() sync defeats async dispatch overlap).
             losses.append(loss)
             if it % cfg.logging_steps == 0:
-                avg = float(np.mean([float(l) for l in losses]))
+                # One stacked fetch, not len(losses) round-trips.
+                avg = float(jnp.stack(losses).mean())
                 losses.clear()
                 self.logger.info("iter %d loss %.4f", it, avg)
                 metrics.log({"loss": avg}, step=it)
@@ -146,7 +148,7 @@ class TurnBasedTrainer:
                           if not isinstance(v, list)}
                     rng, r = jax.random.split(rng)
                     losses.append(eval_loss(params, jb, r))  # fetch after loop
-                losses = [float(l) for l in losses]
+                losses = ([float(jnp.stack(losses).mean())] if losses else [])
                 results = self.agent.test(params, batcher.eval_batches(),
                                           feedback="argmax")
                 self.agent.results = results
