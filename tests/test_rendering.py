@@ -177,3 +177,61 @@ def test_extract_cli_end_to_end(tmp_path):
     k = b"sc1_vpA_0"
     assert store[k].shape[1] == 2048 + 6
     assert len(store.get_region_tokens(k)) == store[k].shape[0]
+
+
+def test_cubemap_lut_matches_sampler():
+    """CubemapLUT precomputes exactly sample_cubemap's math (host parity) and
+    render_jax reproduces SkyboxRenderer.render_views on device arrays."""
+    import jax.numpy as jnp
+
+    from visitron_tpu.pipelines.rendering import CubemapLUT
+
+    rng = np.random.default_rng(0)
+    faces = rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8)
+    rays = np.stack([
+        view_ray_grid(h * np.pi / 6, e * np.pi / 6, 20, 16, np.radians(60))
+        for h in range(12) for e in (-1, 0, 1)
+    ])
+    lut = CubemapLUT(rays, 32)
+    ref = sample_cubemap(faces, rays)
+    got = lut.render_np(faces)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+    dev = np.asarray(lut.render_jax(jnp.asarray(faces)))
+    np.testing.assert_allclose(dev, ref / 255.0, rtol=0, atol=1e-5)
+    # Leading batch dim preserved.
+    two = np.asarray(lut.render_jax(jnp.asarray(np.stack([faces, faces]))))
+    assert two.shape == (2, *rays.shape[:-1], 3)
+    np.testing.assert_allclose(two[0], dev, atol=0)
+
+
+def test_scene_extractor_faces_mode_matches_images_mode(tmp_path):
+    """provider="faces" (device-fused render) == provider="images" (host
+    render) at fp32 on the same skybox."""
+    from PIL import Image
+
+    from visitron_tpu.pipelines.scene_features import SceneFeatureExtractor
+    import jax.numpy as jnp
+
+    class _OneVp:
+        viewpoints = ["v1"]
+        num_viewpoints = 1
+
+    scan, vp = "s1", "v1"
+    d = tmp_path / scan / "matterport_skybox_images"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for idx in range(6):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+            str(d / f"{vp}_skybox{idx}_sami.jpg"))
+
+    renderer = SkyboxRenderer(str(tmp_path), image_w=32, image_h=32, vfov=60)
+    ex = SceneFeatureExtractor.random_init(depth=50, image_hw=(32, 32),
+                                           image_w=32, image_h=32,
+                                           vfov=60, dtype=jnp.float32)
+    by_images = ex.extract_all({scan: _OneVp()}, renderer)
+    by_faces = ex.extract_all({scan: _OneVp()}, renderer.load_faces,
+                              provider="faces")
+    a, b = by_images[f"{scan}_{vp}"], by_faces[f"{scan}_{vp}"]
+    assert a.shape == b.shape == (36, 2048)
+    denom = np.sqrt(np.mean(a ** 2)) + 1e-8
+    assert np.max(np.abs(a - b)) / denom < 1e-4

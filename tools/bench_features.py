@@ -74,6 +74,34 @@ def main() -> None:
             "pipeline_default": dt is jnp.bfloat16,
         }), flush=True)
 
+    # -- scene features, fused on-device render (production path) -----------
+    # run.py extract_scene ships the six 1024x1024 uint8 skybox faces and
+    # resamples them to the 72 views INSIDE the extractor jit (CubemapLUT):
+    # the host only decodes JPEGs.  Host-side resampling costs ~110 ms/view
+    # per core — this arm times the whole device side of the real pipeline.
+    from visitron_tpu.pipelines.scene_features import SceneFeatureExtractor
+
+    ex = SceneFeatureExtractor(params=params["params"], depth=152,
+                               image_w=640, image_h=480, vfov=60)
+    faces = jnp.asarray(np.random.default_rng(2).integers(
+        0, 255, (2, 6, 1024, 1024, 3), dtype=np.uint8))
+    fused = ex._faces_forward(1024)
+
+    def fused_fwd(p, f):
+        return fused(p["params"], f)
+
+    ms = time_fn(fused_fwd, params, faces, n_lo=3, n_hi=13)
+    fps = n_views / (ms / 1000.0)
+    print(json.dumps({
+        "metric": "scene_feature_frames_per_sec_per_chip",
+        "value": round(fps, 1), "unit": "frames/s/chip",
+        "view_ms": round(ms / n_views, 3), "device": device,
+        "matterport_sweep_hours": round(
+            MATTERPORT_VIEWPOINTS * VIEWS / fps / 3600.0, 3),
+        "model": "resnet152_bf16_fused_cubemap_render_1024faces",
+        "pipeline_default": True,
+    }), flush=True)
+
     # -- region features: bottom-up Faster R-CNN R101 @ 600x600 --------------
     from visitron_tpu.models.detector import FasterRCNN
 

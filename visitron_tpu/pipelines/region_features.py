@@ -115,9 +115,38 @@ class RegionFeatureExtractor:
             rec["features"], rec["boxes"], self.image_w, self.image_h)
         return rec
 
-    def extract_all(self, graphs: dict, image_provider: Callable) -> RegionFeatureStore:
-        """image_provider(scan, vp) -> (36, H, W, 3); returns the store keyed
-        ``scan_vp_viewIdx`` (reference FeaturesReader layout)."""
+    def _render_fn(self, face_size: int):
+        """Device cubemap render for provider="faces": (6, S, S, 3) uint8 ->
+        (36, H, W, 3) float32 views, one dispatch, output stays on device
+        for the detector (host resampling costs ~110 ms/view/core and would
+        render-bound the sweep; see CubemapLUT / VALIDATION.md)."""
+        cached = getattr(self, "_render_jit", None)
+        if cached is None or self._render_face_size != face_size:
+            import math
+
+            import jax
+            import jax.numpy as jnp
+
+            from visitron_tpu.pipelines.rendering import CubemapLUT, view_ray_grid
+
+            rays = np.stack([
+                view_ray_grid(geo.heading_of_view(v), geo.elevation_of_view(v),
+                              self.image_w, self.image_h,
+                              math.radians(self.vfov))
+                for v in range(geo.NUM_VIEWS)
+            ])
+            lut = CubemapLUT(rays, face_size)
+            self._render_jit = jax.jit(
+                lambda f: lut.render_jax(f, dtype=jnp.float32))
+            self._render_face_size = face_size
+        return self._render_jit
+
+    def extract_all(self, graphs: dict, image_provider: Callable,
+                    provider: str = "images") -> RegionFeatureStore:
+        """image_provider(scan, vp) -> (36, H, W, 3) views ("images" mode) or
+        (6, S, S, 3) uint8 skybox faces ("faces" mode: the cubemap resample
+        runs on device, identical math to SkyboxRenderer); returns the store
+        keyed ``scan_vp_viewIdx`` (reference FeaturesReader layout)."""
         features: dict[bytes, np.ndarray] = {}
         tokens: dict[bytes, list[str]] = {}
         detect_batch = (getattr(self.detector, "detect_batch", None)
@@ -126,6 +155,12 @@ class RegionFeatureExtractor:
             g = graphs[scan]
             for vp in g.viewpoints:
                 pano = image_provider(scan, vp)
+                if provider == "faces":
+                    import jax.numpy as jnp
+
+                    pano = self._render_fn(pano.shape[1])(jnp.asarray(pano))
+                    if detect_batch is None:
+                        pano = np.asarray(pano)
                 if detect_batch is not None:
                     # Keep views_per_dispatch a divisor of 36 — a ragged
                     # final slice would compile a second jit variant.

@@ -356,7 +356,12 @@ def run_extract_scene(cfg: RunConfig):
         ex = SceneFeatureExtractor.random_init(
             depth=50, image_hw=(h, w), image_w=w, image_h=h, vfov=60, dtype=dt)
     out = cfg.img_feature_file or f"{cfg.output_dir}/scene_features.tsv"
-    ex.extract_all(_extract_graphs(cfg), renderer, out_tsv=out, logger=logger)
+    # Device-fused rendering: ship the six uint8 skybox faces and resample
+    # inside the extractor jit (CubemapLUT) — the host only decodes JPEGs.
+    # Host-side resampling costs ~110 ms/view/core and would render-bound
+    # the sweep against the ~900 frames/s backbone (VALIDATION.md).
+    ex.extract_all(_extract_graphs(cfg), renderer.load_faces, out_tsv=out,
+                   logger=logger, provider="faces")
     logger.info("wrote scene features to %s", out)
     return out
 
@@ -401,7 +406,10 @@ def run_extract_regions(cfg: RunConfig):
                          "or --debug for the stub")
     ex = RegionFeatureExtractor(detector, classes, attributes,
                                 image_w=side, image_h=side, vfov=80)
-    store = ex.extract_all(_extract_graphs(cfg), renderer)
+    # Device-fused rendering (see extract_scene): ship uint8 faces, resample
+    # on device; views feed the detector without leaving HBM.
+    store = ex.extract_all(_extract_graphs(cfg), renderer.load_faces,
+                           provider="faces")
     prefix = cfg.region_feature_prefix or f"{cfg.output_dir}/region_features"
     store.to_pickle(prefix)
     logger.info("wrote region store (%d keys) to %s*", len(store), prefix)

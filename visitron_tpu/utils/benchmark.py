@@ -111,7 +111,11 @@ def time_fn(fn: Callable, *args, n_lo: int = 5, n_hi: int = 25,
 
     Each iteration's inputs are perturbed by ``acc * 1e-38`` (numerically nil,
     but a real data dependence on the previous iteration's output), so XLA can
-    neither hoist the body out of the loop (LICM) nor dead-code it.
+    neither hoist the body out of the loop (LICM) nor dead-code it.  Integer
+    and bool args get ``+ isnan(acc)`` (always 0, never foldable) for the
+    same reason — without it a uint8 input (e.g. skybox faces) is
+    loop-invariant and everything computed from it alone gets hoisted,
+    silently timing an empty loop.
     """
     import functools
 
@@ -126,9 +130,12 @@ def time_fn(fn: Callable, *args, n_lo: int = 5, n_hi: int = 25,
             acc = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(out)
                       if jnp.issubdtype(l.dtype, jnp.floating)) + acc * 0.5
             eps = acc * 1e-38  # non-foldable, numerically negligible
+            izero = jnp.isnan(acc)  # always False, never foldable
             new_flat = [
                 x + eps.astype(x.dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else (x if jnp.issubdtype(x.dtype, jnp.bool_)
+                      else x + izero.astype(x.dtype))
                 for x in flat
             ]
             return new_flat, acc
