@@ -160,6 +160,26 @@ for batch in pds.epoch_batches(2, host_id=jax.process_index(), num_hosts=2):
 assert len(plosses) == 2, len(plosses)  # 8 examples / 2 hosts / batch 2
 assert all(np.isfinite(plosses)), plosses
 print(f"PRETRAIN {jax.process_index()} {plosses[0]:.6f} {plosses[1]:.6f}", flush=True)
+
+# ---- preemption consensus: SIGTERM lands on host 0 ONLY; both hosts must
+# agree to stop at the same sync boundary (a lone stopping host would hang
+# the other's next collective forever — see train/preemption.py).
+import signal as _signal
+from visitron_tpu.train.preemption import PreemptionGuard
+with PreemptionGuard(sync_every=2) as g:
+    if jax.process_index() == 0:
+        _signal.raise_signal(_signal.SIGTERM)
+    stopped_at = 0
+    for it in range(1, 7):
+        # A real SPMD collective per step: both hosts must keep entering
+        # these right up to the agreed boundary.
+        s = float(jax.jit(lambda x: x.sum(),
+                          out_shardings=NamedSharding(mesh, PartitionSpec()))(ones))
+        assert s == 4.0, s
+        if g.should_stop(it):
+            stopped_at = it
+            break
+print(f"PREEMPT {jax.process_index()} {stopped_at} {int(g.fired)}", flush=True)
 """
 
 
@@ -199,6 +219,7 @@ def test_two_process_data_parallel_train(tmp_path):
     results = {}
     shapes = {}
     pretrain = {}
+    preempt = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
@@ -210,6 +231,9 @@ def test_two_process_data_parallel_train(tmp_path):
             elif line.startswith("PRETRAIN"):
                 _, pid, l0, l1 = line.split()
                 pretrain[pid] = (float(l0), float(l1))
+            elif line.startswith("PREEMPT"):
+                _, pid, stop_it, fired = line.split()
+                preempt[pid] = (int(stop_it), int(fired))
     assert set(results) == {"0", "1"}, outs
     # Replicated loss: both hosts computed the same global value.
     assert results["0"] == results["1"], results
@@ -221,3 +245,6 @@ def test_two_process_data_parallel_train(tmp_path):
     # same replicated loss on both hosts.
     assert set(pretrain) == {"0", "1"}, outs
     assert pretrain["0"] == pretrain["1"], pretrain
+    # Preemption consensus: only host 0 received SIGTERM (fired 1 vs 0),
+    # yet BOTH hosts stopped at the same sync boundary (step 2).
+    assert preempt == {"0": (2, 1), "1": (2, 0)}, preempt

@@ -174,6 +174,19 @@ class NavEpisodeBatcher:
     def _global_trim(self, batch: dict, global_max_len: int) -> dict:
         return trim_to_bucket(batch, global_max_len, self.length_bucket)
 
+    def skip_batches(self, n: int) -> None:
+        """Advance the deterministic schedule by ``n`` batches without
+        building them (index draws only — cheap).  Exact resume: a restarted
+        process replays the stream to its checkpoint position so training
+        continues with the batches an uninterrupted run would have seen,
+        instead of restarting the epoch shuffle from scratch.  Multi-host:
+        the shadow streams advance in lockstep, so the derived global length
+        buckets stay identical across hosts after resume."""
+        self._ensure_streams()
+        for _ in range(n):
+            for s in self._streams:
+                next(s)
+
     def train_batches(self, num_batches: int, episode_len: int | None = None):
         """Infinite-style epoch-shuffled iterator; every batch full-size.
         Schedule state persists across calls (the epoch tail wraps)."""

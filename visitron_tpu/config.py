@@ -95,6 +95,11 @@ class RunConfig:
     debug: bool = False
     resume: bool = False               # restore latest checkpoint and continue
     profile_steps: int = 0             # capture a jax profiler trace of N steps
+    # Async checkpoint saves: orbax commits from a background thread so the
+    # train loop overlaps checkpoint I/O with the next steps; meta.json (the
+    # completeness marker --resume enumerates by) is committed at the next
+    # save / end of training.  Preemption + final saves are always synchronous.
+    async_checkpoints: bool = False
 
     # hardware
     mesh_dp: int = 0                   # 0 => all devices

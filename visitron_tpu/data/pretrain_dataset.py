@@ -283,6 +283,13 @@ class PretrainDataset:
             out["next_action"][i] = -1 if self.no_action_grounding else ex.next_action
         return out
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the epoch-keyed shuffle stream after a resume, so resumed
+        epochs iterate the same (seed, epoch) order an uninterrupted run
+        would — without this the first post-resume epoch replays epoch 0's
+        shuffle."""
+        self._epoch = int(epoch)
+
     def epoch_batches(self, batch_size: int, shuffle: bool = True,
                       drop_last: bool = True, host_id: int = 0,
                       num_hosts: int = 1):

@@ -40,7 +40,7 @@ def run_viewpoint(cfg: RunConfig, do_val: bool = True):
         trainer.test_submission()
         return None
     state = trainer.train(resume=cfg.resume, profile_steps=cfg.profile_steps)
-    if do_val:
+    if do_val and not getattr(trainer, "preempted", False):
         # --eval_iters selects checkpoint iterations; [-1] means all
         # (reference train.py:182-189).
         steps = None if cfg.eval_iters == [-1] else cfg.eval_iters
@@ -76,7 +76,7 @@ def run_turn_based(cfg: RunConfig, do_val: bool = True):
     ws = _workspace_for_nav(cfg)
     trainer = TurnBasedTrainer(cfg, ws)
     state = trainer.train(resume=cfg.resume)
-    if do_val:
+    if do_val and not getattr(trainer, "preempted", False):
         steps = None if cfg.eval_iters == [-1] else cfg.eval_iters
         trainer.val(steps=steps)
     return state
@@ -88,7 +88,7 @@ def run_classifier(cfg: RunConfig, do_val: bool = True):
     ws = _workspace_for_nav(cfg)
     trainer = ClassifierTrainer(cfg, ws)
     state = trainer.train(resume=cfg.resume)
-    if do_val:
+    if do_val and not getattr(trainer, "preempted", False):
         steps = None if cfg.eval_iters == [-1] else cfg.eval_iters
         trainer.val(steps=steps)
     return state
@@ -174,14 +174,17 @@ def run_pretrain(cfg: RunConfig):
         bf16_adam_moments=cfg.bf16_adam_moments, mesh=mesh, seed=cfg.seed)
     batch_size = cfg.train_batch_size(mesh.devices.size)
     state = trainer.init_state(dataset.batch(range(min(batch_size, len(dataset)))))
-    ckpt = CheckpointManager(cfg.output_dir)
+    ckpt = CheckpointManager(cfg.output_dir, async_save=cfg.async_checkpoints)
     metrics = MetricsLogger(cfg.output_dir, "train")
     step = trainer.step_fn()
     it = 0
     start_epoch = 0
+    skip = 0
     if cfg.resume and ckpt.latest() is not None:
-        # Per-epoch checkpoints: resume at the next epoch with the exact
-        # params + optimizer state (schedule position lives in opt_state).
+        # Checkpoints land per epoch (and on preemption, mid-epoch); resume
+        # restores the exact params + optimizer state (schedule position
+        # lives in opt_state), re-aligns the epoch-keyed shuffle, and skips
+        # the completed slice of an in-progress epoch.
         from visitron_tpu.parallel import replicate_state
 
         it = ckpt.latest()
@@ -189,29 +192,49 @@ def run_pretrain(cfg: RunConfig):
             it, {"params": state["params"], "opt_state": state["opt_state"]})
         state = {**state, **replicate_state(mesh, restored)}
         start_epoch = min(it // steps_per_epoch, cfg.num_epochs)
-        logger.info("resumed from checkpoint-%d (epoch %d)", it, start_epoch)
+        skip = it - start_epoch * steps_per_epoch
+        logger.info("resumed from checkpoint-%d (epoch %d, skipping %d "
+                    "completed batches)", it, start_epoch, skip)
+    dataset.set_epoch(start_epoch)
     # Multi-host: each host feeds its strided shard of the global batch
     # (DistributedSampler parity; shard_batch assembles the global array).
     host_id, num_hosts = jax.process_index(), jax.process_count()
     local_bs = batch_size // num_hosts
-    for epoch in range(start_epoch, cfg.num_epochs):
-        for batch in dataset.epoch_batches(local_bs, host_id=host_id,
-                                           num_hosts=num_hosts):
-            state, bundle = step(state, batch)
-            it += 1
-            if it % cfg.logging_steps == 0:
-                vals = {k: float(v) for k, v in bundle.items()}
-                logger.info("epoch %d iter %d %s", epoch, it, vals)
-                metrics.log(vals, step=it)
-        ckpt.save(it, state["params"], state["opt_state"])
-        # Per-epoch validation over the val splits (pretrain.py:273-579 parity).
-        for split in ("val_seen", "val_unseen"):
-            val_ds = make_dataset([split])
-            if val_ds is None or len(val_ds) < batch_size:
-                continue
-            vals = trainer.evaluate(state["params"], val_ds, local_bs)
-            logger.info("epoch %d %s %s", epoch, split, vals)
-            metrics.log(vals, step=it, prefix=f"{split}/")
+    from visitron_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        for epoch in range(start_epoch, cfg.num_epochs):
+            saved_it = None
+            for batch in dataset.epoch_batches(local_bs, host_id=host_id,
+                                               num_hosts=num_hosts):
+                if skip:
+                    skip -= 1
+                    continue
+                state, bundle = step(state, batch)
+                it += 1
+                if it % cfg.logging_steps == 0:
+                    vals = {k: float(v) for k, v in bundle.items()}
+                    logger.info("epoch %d iter %d %s", epoch, it, vals)
+                    metrics.log(vals, step=it)
+                if guard.should_stop(it):
+                    ckpt.save(it, state["params"], state["opt_state"], wait=True)
+                    saved_it = it
+                    logger.info("termination signal: saved checkpoint-%d, "
+                                "stopping (restart with --resume)", it)
+                    break
+            if guard.stop:
+                break
+            if saved_it != it:
+                ckpt.save(it, state["params"], state["opt_state"])
+            # Per-epoch validation over the val splits (pretrain.py:273-579 parity).
+            for split in ("val_seen", "val_unseen"):
+                val_ds = make_dataset([split])
+                if val_ds is None or len(val_ds) < batch_size:
+                    continue
+                vals = trainer.evaluate(state["params"], val_ds, local_bs)
+                logger.info("epoch %d %s %s", epoch, split, vals)
+                metrics.log(vals, step=it, prefix=f"{split}/")
+    ckpt.wait_until_finished()
     metrics.close()
     return state
 
@@ -271,19 +294,38 @@ def run_speaker(cfg: RunConfig):
     state = sp.init_state()
     step = sp.train_step_fn()
     eval_loss = sp.eval_loss_fn()
-    ckpt = CheckpointManager(cfg.output_dir)
-    for it, batch in enumerate(
-            batcher.train_batches(cfg.num_iterations,
-                                  episode_len=cfg.episode_len), 1):
-        state, loss = step(state, sp.attach_words(batch, ws.tokenizer, text_by_idx))
-        if it % cfg.logging_steps == 0:
-            logger.info("speaker iter %d loss %.4f", it, float(loss))
-        if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
-            ckpt.save(it, state["params"], state["opt_state"])
-            if val_batches:
-                v = float(np.mean([float(eval_loss(state["params"], b))
-                                   for b in val_batches]))
-                logger.info("speaker ckpt %d val word-CE %.4f", it, v)
+    ckpt = CheckpointManager(cfg.output_dir, async_save=cfg.async_checkpoints)
+    start_it = 0
+    if cfg.resume and ckpt.latest() is not None:
+        start_it = ckpt.latest()
+        state = {**state, **ckpt.restore(
+            start_it, {"params": state["params"], "opt_state": state["opt_state"]})}
+        batcher.skip_batches(start_it)
+        logger.info("speaker resumed from checkpoint-%d", start_it)
+    from visitron_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        for i, batch in enumerate(
+                batcher.train_batches(cfg.num_iterations - start_it,
+                                      episode_len=cfg.episode_len)):
+            state, loss = step(state, sp.attach_words(batch, ws.tokenizer, text_by_idx))
+            it = start_it + i + 1
+            if it % cfg.logging_steps == 0:
+                logger.info("speaker iter %d loss %.4f", it, float(loss))
+            saved = it % cfg.saving_steps == 0 or it == cfg.num_iterations
+            if saved:
+                ckpt.save(it, state["params"], state["opt_state"])
+                if val_batches:
+                    v = float(np.mean([float(eval_loss(state["params"], b))
+                                       for b in val_batches]))
+                    logger.info("speaker ckpt %d val word-CE %.4f", it, v)
+            if guard.should_stop(it):
+                if not saved:
+                    ckpt.save(it, state["params"], state["opt_state"], wait=True)
+                logger.info("termination signal: saved checkpoint-%d, stopping "
+                            "(restart with --resume)", it)
+                break
+    ckpt.wait_until_finished()
     return state
 
 

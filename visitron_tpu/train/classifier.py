@@ -47,7 +47,8 @@ class ClassifierTrainer:
             bf16_adam_moments=self.cfg.bf16_adam_moments,
             seed=self.cfg.seed, max_seq_length=self.cfg.max_seq_length,
             mesh=self.mesh)
-        self.ckpt = CheckpointManager(self.cfg.output_dir)
+        self.ckpt = CheckpointManager(self.cfg.output_dir,
+                                      async_save=self.cfg.async_checkpoints)
 
     def _data_root(self) -> str:
         if self.ws.synthetic is not None:
@@ -137,29 +138,55 @@ class ClassifierTrainer:
         rng = np.random.default_rng(cfg.seed)
         losses = []
         it = start_it
-        while it < cfg.num_iterations:
+        # Exact-schedule resume: replay the completed epochs' shuffles and
+        # skip the completed slice of the in-progress epoch, so the resumed
+        # run sees the batches an uninterrupted run would have.
+        steps_per_epoch = max(len(range(0, len(order) - bs + 1, bs)), 1)
+        for _ in range(start_it // steps_per_epoch):
             rng.shuffle(order)
-            for start in range(0, len(order) - bs + 1, bs):
-                items = [instances[j] for j in order[start:start + bs]]
-                batch = self.agent.prepare_batch(items)
-                jb = {k: np.asarray(v) for k, v in batch.items()
-                      if not isinstance(v, list)}
-                state, loss = step(state, jb)
-                it += 1
-                # Fetch only at the logging boundary (see finetune.py: a
-                # per-step float() sync defeats async dispatch overlap).
-                losses.append(loss)
-                if it % cfg.logging_steps == 0:
-                    # One stacked fetch, not len(losses) round-trips.
-                    avg = float(jnp.stack(losses).mean())
-                    losses.clear()
-                    self.logger.info("iter %d loss %.4f", it, avg)
-                    metrics.log({"loss": avg}, step=it)
-                if it % cfg.saving_steps == 0 or it >= cfg.num_iterations:
-                    self.ckpt.save(it, state["params"], state["opt_state"])
-                if it >= cfg.num_iterations:
-                    break
+        skip = start_it % steps_per_epoch
+        from visitron_tpu.train.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            while it < cfg.num_iterations and not guard.stop:
+                rng.shuffle(order)
+                for start in range(0, len(order) - bs + 1, bs):
+                    if skip:
+                        skip -= 1
+                        continue
+                    items = [instances[j] for j in order[start:start + bs]]
+                    batch = self.agent.prepare_batch(items)
+                    jb = {k: np.asarray(v) for k, v in batch.items()
+                          if not isinstance(v, list)}
+                    state, loss = step(state, jb)
+                    it += 1
+                    # Fetch only at the logging boundary (see finetune.py: a
+                    # per-step float() sync defeats async dispatch overlap).
+                    losses.append(loss)
+                    if it % cfg.logging_steps == 0:
+                        # One stacked fetch, not len(losses) round-trips.
+                        avg = float(jnp.stack(losses).mean())
+                        losses.clear()
+                        self.logger.info("iter %d loss %.4f", it, avg)
+                        metrics.log({"loss": avg}, step=it)
+                    saved = it % cfg.saving_steps == 0 or it >= cfg.num_iterations
+                    if saved:
+                        self.ckpt.save(it, state["params"], state["opt_state"])
+                    if guard.should_stop(it):
+                        if not saved:
+                            self.ckpt.save(it, state["params"], state["opt_state"],
+                                           wait=True)
+                        self.logger.info(
+                            "termination signal: saved checkpoint-%d, stopping "
+                            "(restart with --resume)", it)
+                        break
+                    if it >= cfg.num_iterations:
+                        break
+        self.ckpt.wait_until_finished()
         metrics.close()
+        # run.py skips the post-training val sweep when preempted (the
+        # SIGTERM grace window ends at the checkpoint).
+        self.preempted = guard.stop
         return state
 
     def _eval_batches(self, instances):

@@ -58,7 +58,8 @@ class ViewpointTrainer:
             temperature=self.cfg.temperature,
             mesh=self.mesh,
         )
-        self.ckpt = CheckpointManager(self.cfg.output_dir)
+        self.ckpt = CheckpointManager(self.cfg.output_dir,
+                                      async_save=self.cfg.async_checkpoints)
 
     def _instances(self, splits):
         if self.ws.synthetic is not None:
@@ -129,6 +130,7 @@ class ViewpointTrainer:
 
                 restored = replicate_state(self.mesh, restored)
             state = {**state, **restored}
+            batcher.skip_batches(start_it)
             self.logger.info("resumed from checkpoint-%d", start_it)
         # feedback_method selects the rollout policy during training
         # (reference params.py:201-207 allows sample|teacher; the extended
@@ -149,38 +151,55 @@ class ViewpointTrainer:
             "remote-attached accelerators)...")
         profiling = False
         episode_len = None if student else cfg.episode_len
-        for i, batch in enumerate(
-                batcher.train_batches(remaining, episode_len=episode_len)):
-            if student:
-                batch = batcher.with_sample_teacher(batch)
-            it = start_it + i + 1
-            if profile_steps and i == 1:  # skip compile step
-                jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
-                profiling = True
-            jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-            state, out = step(state, jb)
-            loss, aux = out if isinstance(out, tuple) else (out, None)
-            if profiling and i == profile_steps:
-                jax.block_until_ready(loss)
-                jax.profiler.stop_trace()
-                profiling = False
-            # Defer the device->host fetch to the logging boundary: a
-            # per-step float(loss) forces a sync (an RPC round-trip on
-            # remote-attached accelerators) and stops host batch prep from
-            # overlapping device compute via async dispatch.
-            losses.append(loss)
-            if it % cfg.logging_steps == 0:
-                # One stacked fetch, not len(losses) sequential round-trips.
-                avg = float(jnp.stack(losses).mean())
-                losses.clear()
-                extra = {k: float(v) for k, v in (aux or {}).items()}
-                self.logger.info("iter %d loss %.4f %s", it, avg, extra or "")
-                metrics.log({"loss": avg, **extra}, step=it)
-            if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
-                self.ckpt.save(it, state["params"], state["opt_state"])
+        from visitron_tpu.train.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            for i, batch in enumerate(
+                    batcher.train_batches(remaining, episode_len=episode_len)):
+                if student:
+                    batch = batcher.with_sample_teacher(batch)
+                it = start_it + i + 1
+                if profile_steps and i == 1:  # skip compile step
+                    jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
+                    profiling = True
+                jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+                state, out = step(state, jb)
+                loss, aux = out if isinstance(out, tuple) else (out, None)
+                if profiling and i == profile_steps:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                # Defer the device->host fetch to the logging boundary: a
+                # per-step float(loss) forces a sync (an RPC round-trip on
+                # remote-attached accelerators) and stops host batch prep from
+                # overlapping device compute via async dispatch.
+                losses.append(loss)
+                if it % cfg.logging_steps == 0:
+                    # One stacked fetch, not len(losses) sequential round-trips.
+                    avg = float(jnp.stack(losses).mean())
+                    losses.clear()
+                    extra = {k: float(v) for k, v in (aux or {}).items()}
+                    self.logger.info("iter %d loss %.4f %s", it, avg, extra or "")
+                    metrics.log({"loss": avg, **extra}, step=it)
+                saved = it % cfg.saving_steps == 0 or it == cfg.num_iterations
+                if saved:
+                    self.ckpt.save(it, state["params"], state["opt_state"])
+                if guard.should_stop(it):
+                    if not saved:
+                        self.ckpt.save(it, state["params"], state["opt_state"],
+                                       wait=True)
+                    self.logger.info(
+                        "termination signal: saved checkpoint-%d, stopping "
+                        "(restart with --resume)", it)
+                    break
         if profiling:
             jax.profiler.stop_trace()
+        self.ckpt.wait_until_finished()
         metrics.close()
+        # A SIGTERM grace window cannot afford the post-training val sweep:
+        # callers (run.py) check this flag and return right after the
+        # preemption checkpoint.
+        self.preempted = guard.stop
         return state
 
     def _maybe_load_pretrained(self, state: dict) -> dict:

@@ -46,7 +46,8 @@ class TurnBasedTrainer:
             bf16_adam_moments=self.cfg.bf16_adam_moments,
             seed=self.cfg.seed, max_seq_length=self.cfg.max_seq_length,
             mesh=self.mesh)
-        self.ckpt = CheckpointManager(self.cfg.output_dir)
+        self.ckpt = CheckpointManager(self.cfg.output_dir,
+                                      async_save=self.cfg.async_checkpoints)
 
     def _data_root(self) -> str:
         if self.ws.synthetic is not None:
@@ -98,27 +99,45 @@ class TurnBasedTrainer:
 
                 restored = replicate_state(self.mesh, restored)
             state = {**state, **restored}
+            batcher.skip_batches(start_it)
             self.logger.info("resumed from checkpoint-%d", start_it)
         step = self.agent.train_step_fn()
         metrics = MetricsLogger(cfg.output_dir, "train")
         losses = []
-        for i, batch in enumerate(batcher.train_batches(cfg.num_iterations - start_it)):
-            batch = batcher.with_turn_teacher(batch, cfg.episode_len)
-            jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-            state, loss = step(state, jb)
-            it = start_it + i + 1
-            # Fetch only at the logging boundary (see finetune.py: a
-            # per-step float() sync defeats async dispatch overlap).
-            losses.append(loss)
-            if it % cfg.logging_steps == 0:
-                # One stacked fetch, not len(losses) round-trips.
-                avg = float(jnp.stack(losses).mean())
-                losses.clear()
-                self.logger.info("iter %d loss %.4f", it, avg)
-                metrics.log({"loss": avg}, step=it)
-            if it % cfg.saving_steps == 0 or it == cfg.num_iterations:
-                self.ckpt.save(it, state["params"], state["opt_state"])
+        from visitron_tpu.train.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            for i, batch in enumerate(
+                    batcher.train_batches(cfg.num_iterations - start_it)):
+                batch = batcher.with_turn_teacher(batch, cfg.episode_len)
+                jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+                state, loss = step(state, jb)
+                it = start_it + i + 1
+                # Fetch only at the logging boundary (see finetune.py: a
+                # per-step float() sync defeats async dispatch overlap).
+                losses.append(loss)
+                if it % cfg.logging_steps == 0:
+                    # One stacked fetch, not len(losses) round-trips.
+                    avg = float(jnp.stack(losses).mean())
+                    losses.clear()
+                    self.logger.info("iter %d loss %.4f", it, avg)
+                    metrics.log({"loss": avg}, step=it)
+                saved = it % cfg.saving_steps == 0 or it == cfg.num_iterations
+                if saved:
+                    self.ckpt.save(it, state["params"], state["opt_state"])
+                if guard.should_stop(it):
+                    if not saved:
+                        self.ckpt.save(it, state["params"], state["opt_state"],
+                                       wait=True)
+                    self.logger.info(
+                        "termination signal: saved checkpoint-%d, stopping "
+                        "(restart with --resume)", it)
+                    break
+        self.ckpt.wait_until_finished()
         metrics.close()
+        # run.py skips the post-training val sweep when preempted (the
+        # SIGTERM grace window ends at the checkpoint).
+        self.preempted = guard.stop
         return state
 
     def val(self, steps=None, splits=("val_seen", "val_unseen")) -> dict:
