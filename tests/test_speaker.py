@@ -115,6 +115,38 @@ def test_generate_and_augment_records(world, speaker, trained, runtime, tok,
     assert all(a.length > 0 for a in aug)
 
 
+def test_augment_targets_match_ndh_format(world, speaker, trained, tok,
+                                          tmp_path):
+    """target_vocab stamps records with sampled targets, and
+    build_aug_instances then emits the NDH sequence format: a [TAR] span
+    (segment id 1) exactly like a real NDH instance — without targets the
+    span is absent (the bare R2R format)."""
+    from visitron_tpu.data.dialog import SEGMENT_IDS
+
+    state, _ = trained
+    vocab = ["lamp", "sofa"]
+    records = speaker.augment(state["params"], tok, np.random.default_rng(2),
+                              n=4, batch_size=6, target_vocab=vocab)
+    assert all(r["target"] in vocab for r in records)
+    out = tmp_path / "aug_tar.json"
+    write_aug_records(records, str(out))
+    aug = build_aug_instances(str(out), tok, max_seq_length=SEQ)
+    for inst, rec in zip(aug, records):
+        segs = inst.segment_ids[: inst.length]
+        assert (segs == SEGMENT_IDS["tar"]).any()  # [TAR] span present
+        # The target word itself is in the sequence right after [TAR].
+        tar_pos = int(np.argmax(segs == SEGMENT_IDS["tar"]))
+        assert inst.token_ids[tar_pos + 1] == tok.convert_tokens_to_ids(
+            tok.tokenize(rec["target"]))[0]
+    # Target-less records keep the bare R2R format (no [TAR] span).
+    for r in records:
+        del r["target"]
+    write_aug_records(records, str(out))
+    bare = build_aug_instances(str(out), tok, max_seq_length=SEQ)
+    for inst in bare:
+        assert not (inst.segment_ids[: inst.length] == SEGMENT_IDS["tar"]).any()
+
+
 def test_augment_quality_gate(world, speaker, trained, runtime, tok):
     """keep_fraction over-generates, self-scores, and keeps the n best."""
     state, _ = trained

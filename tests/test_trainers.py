@@ -229,3 +229,55 @@ def test_run_viewpoint_rl(tmp_path, monkeypatch):
     state = runner.run_viewpoint(cfg, do_val=True)
     assert "critic" in state["params"]
     assert os.path.exists(os.path.join(cfg.output_dir, "val.csv"))
+
+
+def test_check_finite_guard():
+    """Divergence fail-fast: a NaN/inf loss at the logging boundary aborts
+    with the iteration number instead of silently training on garbage."""
+    import logging
+
+    from visitron_tpu.train.logging import check_finite
+
+    log = logging.getLogger("test_check_finite")
+    assert check_finite(1.25, 3, log) == 1.25
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(FloatingPointError, match="iteration 7"):
+            check_finite(bad, 7, log)
+
+
+@pytest.mark.slow
+def test_viewpoint_nan_loss_aborts(tmp_path, monkeypatch):
+    """A train step returning NaN aborts the run at the next logging boundary
+    (the existing fetch point — the guard adds no extra device sync)."""
+    import jax.numpy as jnp
+
+    from visitron_tpu.agents import ViewpointAgent
+    from visitron_tpu.train.finetune import ViewpointTrainer
+    from visitron_tpu.train.workspace import Workspace
+    import visitron_tpu.train.workspace as wsmod
+    from visitron_tpu.models import BertConfig
+
+    def tiny(cfg_, tokenizer):
+        return BertConfig(vocab_size=len(tokenizer), hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=64, max_position_embeddings=64,
+                          type_vocab_size=4, img_feature_dim=cfg_.img_feature_dim,
+                          detector_classes=cfg_.detector_classes)
+
+    monkeypatch.setattr(wsmod.Workspace, "_bert_config", staticmethod(tiny))
+    orig = ViewpointAgent.train_step_fn
+
+    def poisoned(self):
+        step = orig(self)
+
+        def wrapped(state, batch):
+            state, loss = step(state, batch)
+            return state, loss * jnp.nan
+
+        return wrapped
+
+    monkeypatch.setattr(ViewpointAgent, "train_step_fn", poisoned)
+    cfg = _cfg(tmp_path, feedback_method="teacher", logging_steps=2)
+    trainer = ViewpointTrainer(cfg, Workspace.synthetic_workspace(cfg))
+    with pytest.raises(FloatingPointError, match="iteration 2"):
+        trainer.train()

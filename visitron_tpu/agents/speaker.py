@@ -341,7 +341,8 @@ class SpeakerAgent:
     def augment(self, params, tokenizer, rng: np.random.Generator, n: int,
                 batch_size: int = 32, min_hops: int = 2, max_hops: int = 6,
                 prefix: str = "AUG", temperature: float = 0.0,
-                keep_fraction: float | None = None) -> list[dict]:
+                keep_fraction: float | None = None,
+                target_vocab: list[str] | None = None) -> list[dict]:
         """Generate R2R-format augmentation records from sampled walks.
         ``temperature`` > 0 samples captions (diversity) instead of greedy.
 
@@ -349,7 +350,13 @@ class SpeakerAgent:
         ``n / keep_fraction`` candidates, self-score each caption with the
         speaker's own teacher-forced per-example word CE against its walk
         (``caption_ce_fn``), and keep the ``n`` best (lowest CE).  Each
-        returned record then carries a ``speaker_ce`` field."""
+        returned record then carries a ``speaker_ce`` field.
+
+        ``target_vocab`` stamps each record with a sampled ``target`` word so
+        ``build_aug_instances`` can emit the NDH sequence format ([TAR] span)
+        instead of the bare R2R format — without it, aug gradient trains the
+        encoder on an input population the NDH val split never shows
+        (tools/aug_ab.py measures the difference)."""
         gen = self.generate_fn(temperature)
         score = self.caption_ce_fn() if keep_fraction is not None else None
         target = n if keep_fraction is None else int(np.ceil(n / keep_fraction))
@@ -409,6 +416,8 @@ class SpeakerAgent:
                 }
                 if ces is not None:
                     rec["speaker_ce"] = float(ces[i])
+                if target_vocab is not None:
+                    rec["target"] = str(rng.choice(target_vocab))
                 records.append(rec)
             empty_rounds = empty_rounds + 1 if len(records) == before else 0
         if keep_fraction is not None:
@@ -424,20 +433,31 @@ def write_aug_records(records: list[dict], path: str) -> None:
 
 
 def build_aug_instances(path: str, tokenizer, max_seq_length: int = 512,
-                        oscar_setting: bool = False) -> list:
+                        oscar_setting: bool = False,
+                        tar_back: bool = False) -> list:
     """Load speaker-generated R2R-format records as NavInstances (appended to
-    the fine-tuning instance list via --aug_data)."""
+    the fine-tuning instance list via --aug_data).
+
+    Records carrying a ``target`` field (``augment(target_vocab=...)`` /
+    ``--aug_targets``) get the NDH sequence format — [TAR] target span plus
+    the caption as a dialog turn — so aug and real instances are
+    format-matched; target-less records keep the bare R2R format (which is
+    also what real R2R instances use, datasets.py:162-171)."""
     from visitron_tpu.data.datasets import NavInstance
-    from visitron_tpu.data.dialog import build_dialog_sequence
+    from visitron_tpu.data.dialog import MAX_TARGET_LENGTH, build_dialog_sequence
 
     with open(path) as f:
         records = json.load(f)
     out = []
     for item in records:
+        tgt = item.get("target")
+        target_tokens = tokenizer.tokenize(tgt)[:MAX_TARGET_LENGTH] if tgt else None
         for j, instr in enumerate(item["instructions"]):
             seq = build_dialog_sequence(
-                tokenizer, [tokenizer.tokenize(instr)], target_tokens=None,
-                oscar_setting=oscar_setting, max_seq_length=max_seq_length)
+                tokenizer, [tokenizer.tokenize(instr)],
+                target_tokens=target_tokens,
+                oscar_setting=oscar_setting, tar_back=tar_back,
+                max_seq_length=max_seq_length)
             p = list(item["path"])
             out.append(NavInstance(
                 inst_idx=f"{item['path_id']}_{j}",

@@ -138,6 +138,11 @@ class RunConfig:
     num_aug: int = 1000               # walks to caption in `augment`
     max_words: int = 64               # speaker decode length
     aug_temperature: float = 0.0      # 0 = greedy captions; >0 samples
+    # Stamp each aug record with a target word sampled from the NDH train
+    # targets, so build_aug_instances emits the NDH sequence format ([TAR]
+    # span) instead of the bare R2R format — aug and real instances then
+    # share one input population (see tools/aug_ab.py).
+    aug_targets: bool = False
     aug_keep_fraction: float = 0.0    # 0 = no gate; in (0, 1] over-generate
                                       # 1/frac and keep the best speaker-CE
 

@@ -103,7 +103,8 @@ def run_pretrain(cfg: RunConfig):
     from visitron_tpu.parallel import make_mesh
     from visitron_tpu.pipelines.pretrain_datagen import generate_pretrain_examples
     from visitron_tpu.train.checkpoint import CheckpointManager
-    from visitron_tpu.train.logging import MetricsLogger, setup_logger
+    from visitron_tpu.train.logging import (MetricsLogger, check_finite,
+                                              setup_logger)
     from visitron_tpu.train.pretrain import PretrainTrainer
     from visitron_tpu import geometry as geo
 
@@ -214,6 +215,7 @@ def run_pretrain(cfg: RunConfig):
                 it += 1
                 if it % cfg.logging_steps == 0:
                     vals = {k: float(v) for k, v in bundle.items()}
+                    check_finite(vals["loss"], it, logger)
                     logger.info("epoch %d iter %d %s", epoch, it, vals)
                     metrics.log(vals, step=it)
                 if guard.should_stop(it):
@@ -262,7 +264,7 @@ def run_speaker(cfg: RunConfig):
     from visitron_tpu.agents.speaker import SpeakerAgent
     from visitron_tpu.train.checkpoint import CheckpointManager
     from visitron_tpu.train.finetune import ViewpointTrainer
-    from visitron_tpu.train.logging import setup_logger
+    from visitron_tpu.train.logging import check_finite, setup_logger
 
     ws = _workspace_for_nav(cfg)
     logger = setup_logger(output_dir=cfg.output_dir)
@@ -311,7 +313,8 @@ def run_speaker(cfg: RunConfig):
             state, loss = step(state, sp.attach_words(batch, ws.tokenizer, text_by_idx))
             it = start_it + i + 1
             if it % cfg.logging_steps == 0:
-                logger.info("speaker iter %d loss %.4f", it, float(loss))
+                logger.info("speaker iter %d loss %.4f", it,
+                            check_finite(float(loss), it, logger))
             saved = it % cfg.saving_steps == 0 or it == cfg.num_iterations
             if saved:
                 ckpt.save(it, state["params"], state["opt_state"])
@@ -347,10 +350,26 @@ def run_augment(cfg: RunConfig):
             f"no speaker checkpoint under {ckpt.output_dir!r}; run "
             "`run.py speaker` first or pass --speaker_checkpoint")
     params = ckpt.restore(step, {"params": state["params"]})["params"]
+    target_vocab = None
+    if cfg.aug_targets:
+        # Targets sampled from the NDH train distribution: aug records then
+        # carry the same [TAR] span as the real instances (format-matched).
+        from visitron_tpu.data.datasets import load_split
+
+        if ws.synthetic is not None:
+            import tempfile
+
+            root = tempfile.mkdtemp(prefix="visitron_synth_")
+            ws.synthetic.write_task_data(root)
+        else:
+            root = cfg.data_root
+        target_vocab = sorted({str(item["target"])
+                               for item in load_split(root, ["train"], "NDH")})
     records = sp.augment(params, ws.tokenizer,
                          np.random.default_rng(cfg.seed), cfg.num_aug,
                          temperature=cfg.aug_temperature,
-                         keep_fraction=cfg.aug_keep_fraction or None)
+                         keep_fraction=cfg.aug_keep_fraction or None,
+                         target_vocab=target_vocab)
     out = os.path.join(cfg.output_dir, "aug_data.json")
     os.makedirs(cfg.output_dir, exist_ok=True)
     write_aug_records(records, out)

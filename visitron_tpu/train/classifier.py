@@ -21,7 +21,8 @@ from visitron_tpu.agents.classifier import ClassifierAgent
 from visitron_tpu.config import RunConfig
 from visitron_tpu.data.classifier_dataset import build_classifier_instances
 from visitron_tpu.train.checkpoint import CheckpointManager
-from visitron_tpu.train.logging import MetricsLogger, setup_logger
+from visitron_tpu.train.logging import (MetricsLogger, check_finite,
+                                          setup_logger)
 from visitron_tpu.train.workspace import Workspace
 
 
@@ -165,7 +166,8 @@ class ClassifierTrainer:
                     losses.append(loss)
                     if it % cfg.logging_steps == 0:
                         # One stacked fetch, not len(losses) round-trips.
-                        avg = float(jnp.stack(losses).mean())
+                        avg = check_finite(
+                            float(jnp.stack(losses).mean()), it, self.logger)
                         losses.clear()
                         self.logger.info("iter %d loss %.4f", it, avg)
                         metrics.log({"loss": avg}, step=it)

@@ -24,7 +24,8 @@ from visitron_tpu.config import RunConfig
 from visitron_tpu.data.datasets import build_nav_instances
 from visitron_tpu.evaluation import Evaluator
 from visitron_tpu.train.checkpoint import CheckpointManager
-from visitron_tpu.train.logging import MetricsLogger, setup_logger
+from visitron_tpu.train.logging import (MetricsLogger, check_finite,
+                                          setup_logger)
 from visitron_tpu.train.workspace import Workspace
 
 
@@ -86,7 +87,8 @@ class ViewpointTrainer:
             aug = build_aug_instances(
                 self.cfg.aug_data, self.ws.tokenizer,
                 max_seq_length=self.cfg.max_seq_length,
-                oscar_setting=self.cfg.oscar_setting)
+                oscar_setting=self.cfg.oscar_setting,
+                tar_back=self.cfg.tar_back)
             self.logger.info("aug_data: +%d speaker-generated instances", len(aug))
             instances = instances + aug
         return instances
@@ -176,7 +178,8 @@ class ViewpointTrainer:
                 losses.append(loss)
                 if it % cfg.logging_steps == 0:
                     # One stacked fetch, not len(losses) sequential round-trips.
-                    avg = float(jnp.stack(losses).mean())
+                    avg = check_finite(
+                        float(jnp.stack(losses).mean()), it, self.logger)
                     losses.clear()
                     extra = {k: float(v) for k, v in (aux or {}).items()}
                     self.logger.info("iter %d loss %.4f %s", it, avg, extra or "")

@@ -13,6 +13,26 @@ import os
 import time
 
 
+def check_finite(value: float, it: int, logger: logging.Logger) -> float:
+    """Fail fast on training divergence.
+
+    Called on the loss at the logging boundary (where the device->host fetch
+    already happens, so this adds no sync).  A NaN/inf loss otherwise trains
+    on silently — burning accelerator-hours on garbage gradients and, worse,
+    overwriting good checkpoints at the next save.  The reference has no
+    such guard (train.py's loop logs whatever comes back)."""
+    import math
+
+    if not math.isfinite(value):
+        logger.error(
+            "non-finite training loss %r at iter %d — aborting (restart "
+            "from the last finite checkpoint with --resume, with a lower "
+            "learning rate / higher max_grad_norm clip)", value, it)
+        raise FloatingPointError(
+            f"training diverged: loss={value!r} at iteration {it}")
+    return value
+
+
 def setup_logger(name: str = "visitron_tpu", output_dir: str | None = None,
                  is_main_process: bool = True) -> logging.Logger:
     logger = logging.getLogger(name)
