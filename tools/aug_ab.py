@@ -45,6 +45,25 @@ def main() -> None:
     ap.add_argument("--temperature", type=float, default=0.0,
                     help="caption sampling temperature (EnvDrop samples its "
                          "augmentation captions; 0 = greedy)")
+    ap.add_argument("--arms", default="baseline,aug",
+                    help="comma list of arms to run: baseline (train only), "
+                         "aug (train + aug), aug_only (aug records alone — "
+                         "a caption-faithfulness probe: positive held-out GP "
+                         "is only possible if the captions actually describe "
+                         "their walks), real_only (n-aug FRESH real episodes "
+                         "alone — the probe's calibration ceiling: what "
+                         "perfect records score under the same budget)")
+    ap.add_argument("--targets", action="store_true",
+                    help="stamp aug records with sampled targets so they get "
+                         "the NDH sequence format ([TAR] span) — without "
+                         "this, aug sequences are a population the NDH val "
+                         "split never shows (--aug_targets equivalent)")
+    ap.add_argument("--oracle-captions", action="store_true",
+                    help="caption the sampled walks with the world's ground-"
+                         "truth directional sentence instead of the speaker "
+                         "(skips speaker training) — the perfect-speaker "
+                         "upper bound: separates the augmentation MECHANISM "
+                         "from speaker caption quality")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host-CPU backend (JAX_PLATFORMS env is "
                          "overridden by the relay sitecustomize; only "
@@ -119,24 +138,51 @@ def main() -> None:
                       pad_id=tok.pad_token_id, episode_len=args.episode_len,
                       max_words=48, hidden_size=128, wemb=64,
                       learning_rate=1e-3)
-    sp_batcher = NavEpisodeBatcher(train_inst, runtime, batch_size=args.batch,
-                                   path_type="planner_path")
-    text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i)
-                   for i in train_inst}
-    sp_state = sp.init_state()
-    sp_step = sp.train_step_fn()
-    for it, batch in enumerate(sp_batcher.train_batches(
-            args.speaker_iters, episode_len=args.episode_len), 1):
-        sp_state, loss = sp_step(sp_state, sp.attach_words(batch, tok, text_by_idx))
-        if it % 100 == 0:
-            print(json.dumps({"tag": "speaker", "step": it,
-                              "word_ce": round(float(loss), 4)}), flush=True)
+    if args.oracle_captions:
+        # Perfect-speaker upper bound: sample the same walk distribution but
+        # caption each walk with the world's ground-truth directional
+        # sentence (what an ideal speaker would converge to).
+        aug_rng = np.random.default_rng(3)
+        walks = sp.sample_walks(aug_rng, args.n_aug, min_hops=2,
+                                max_hops=args.episode_len - 2)
+        records = []
+        for i in range(args.n_aug):
+            scan = walks["scans"][i]
+            g = world.graphs[scan]
+            off = runtime.feat_table.scan_offsets[scan]
+            path = g.shortest_path(int(walks["start_rows"][i]) - off,
+                                   int(walks["goal_rows"][i]) - off)
+            rec = {"scan": scan,
+                   "path": path,
+                   "heading": walks["headings"][i],
+                   "path_id": f"AUG_{i}",
+                   "instructions": [world._directional_sentence(
+                       g, [g.index[p] for p in path], walks["headings"][i])]}
+            if args.targets:
+                rec["target"] = str(aug_rng.choice(_TARGETS))
+            records.append(rec)
+    else:
+        sp_batcher = NavEpisodeBatcher(train_inst, runtime,
+                                       batch_size=args.batch,
+                                       path_type="planner_path")
+        text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i)
+                       for i in train_inst}
+        sp_state = sp.init_state()
+        sp_step = sp.train_step_fn()
+        for it, batch in enumerate(sp_batcher.train_batches(
+                args.speaker_iters, episode_len=args.episode_len), 1):
+            sp_state, loss = sp_step(
+                sp_state, sp.attach_words(batch, tok, text_by_idx))
+            if it % 100 == 0:
+                print(json.dumps({"tag": "speaker", "step": it,
+                                  "word_ce": round(float(loss), 4)}), flush=True)
 
-    records = sp.augment(sp_state["params"], tok, np.random.default_rng(3),
-                         args.n_aug, min_hops=2,
-                         max_hops=args.episode_len - 2,
-                         temperature=args.temperature,
-                         keep_fraction=args.keep_frac or None)
+        records = sp.augment(sp_state["params"], tok, np.random.default_rng(3),
+                             args.n_aug, min_hops=2,
+                             max_hops=args.episode_len - 2,
+                             temperature=args.temperature,
+                             keep_fraction=args.keep_frac or None,
+                             target_vocab=list(_TARGETS) if args.targets else None)
     with tempfile.TemporaryDirectory() as d:
         aug_path = os.path.join(d, "aug.json")
         write_aug_records(records, aug_path)
@@ -144,10 +190,23 @@ def main() -> None:
     print(json.dumps({"tag": "aug", "records": len(records),
                       "instances": len(aug_inst)}), flush=True)
 
-    # -- the two arms, same budget --------------------------------------------
+    # -- the arms, same budget -------------------------------------------------
+    arm_instances = {"baseline": train_inst,
+                     "aug": train_inst + aug_inst,
+                     "aug_only": aug_inst}
+    arms = [a.strip() for a in args.arms.split(",") if a.strip()]
+    if "real_only" in arms:
+        # Calibration ceiling for the aug_only probe: the SAME record count of
+        # FRESH real episodes (continuing the world's rng stream, so disjoint
+        # from train/val), trained alone under the identical budget.  The
+        # aug_only:real_only ratio — not aug_only:baseline — isolates caption
+        # quality from the probe's own population/budget effects.
+        with tempfile.TemporaryDirectory() as d:
+            world.write_task_data(d, counts={"train": args.n_aug})
+            arm_instances["real_only"] = build_nav_instances(
+                d, ["train"], tok, max_seq_length=args.seq)
     results = {}
-    for tag, instances in (("baseline", train_inst),
-                           ("aug", train_inst + aug_inst)):
+    for tag, instances in ((a, arm_instances[a]) for a in arms):
         agent = make_agent()
         batcher = NavEpisodeBatcher(instances, runtime, batch_size=args.batch,
                                     path_type="planner_path", seed=88)
@@ -163,9 +222,10 @@ def main() -> None:
                                   "loss": round(float(loss), 4)}), flush=True)
         results[tag] = evaluate(agent, state["params"], f"val_{tag}")
 
-    delta = {k: round(results["aug"][k] - results["baseline"][k], 3)
-             for k in ("gp", "sr", "spl", "ndtw")}
-    print(json.dumps({"tag": "delta_aug_minus_baseline", **delta}), flush=True)
+    if "aug" in results and "baseline" in results:
+        delta = {k: round(results["aug"][k] - results["baseline"][k], 3)
+                 for k in ("gp", "sr", "spl", "ndtw")}
+        print(json.dumps({"tag": "delta_aug_minus_baseline", **delta}), flush=True)
 
 
 if __name__ == "__main__":
