@@ -311,7 +311,7 @@ class VisitronBert(nn.Module):
         """(..., H) -> (..., vocab) logits against the tied word embeddings."""
         return self.word_embeddings.attend(x.astype(self.cfg.dtype))
 
-    def __call__(
+    def embed_joint(
         self,
         input_ids,
         token_type_ids=None,
@@ -322,6 +322,10 @@ class VisitronBert(nn.Module):
         history_states=None,
         deterministic=True,
     ):
+        """Everything before the transformer stack: text + image embeddings
+        fused into the joint sequence, plus the attention bias.  Split out of
+        ``__call__`` so pipeline-parallel execution (parallel/pipeline.py) can
+        run it replicated while the encoder layers are stage-sharded."""
         cfg = self.cfg
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
@@ -348,6 +352,22 @@ class VisitronBert(nn.Module):
             )
             attention_mask = jnp.concatenate([pad, attention_mask], axis=-1)
         bias = make_attention_bias(attention_mask)
+        return emb, bias
+
+    def __call__(
+        self,
+        input_ids,
+        token_type_ids=None,
+        attention_mask=None,
+        position_ids=None,
+        img_feats=None,
+        img_location_embeddings=None,
+        history_states=None,
+        deterministic=True,
+    ):
+        emb, bias = self.embed_joint(
+            input_ids, token_type_ids, attention_mask, position_ids,
+            img_feats, img_location_embeddings, history_states, deterministic)
         seq = self.encoder(emb, bias, history_states, deterministic)
         pooled = self.pooler(seq)
         return seq, pooled

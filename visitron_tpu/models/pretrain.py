@@ -74,6 +74,14 @@ class PretrainModel(nn.Module):
         )
         if text_only:
             return seq, pooled
+        return self.heads(seq, pooled)
+
+    def heads(self, seq, pooled=None):
+        """The three pretraining heads over an encoded sequence.  Split out of
+        ``__call__`` so pipeline-parallel execution (parallel/pipeline.py) can
+        apply them to the stage-pipelined encoder output."""
+        if pooled is None:
+            pooled = self.bert.pooler(seq)
         x = self.mlm_transform(seq)
         x = nn.gelu(x, approximate=False)
         x = self.mlm_layer_norm(x)

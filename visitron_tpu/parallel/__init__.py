@@ -9,6 +9,12 @@ from visitron_tpu.parallel.mesh import (
     shard_params_rules,
     host_shard_info,
 )
+from visitron_tpu.parallel.pipeline import (
+    PipelinePretrainTrainer,
+    make_pp_mesh,
+    merge_pretrain_params,
+    split_pretrain_params,
+)
 
 __all__ = [
     "MeshSpec",
@@ -20,4 +26,8 @@ __all__ = [
     "shard_batch",
     "shard_params_rules",
     "host_shard_info",
+    "PipelinePretrainTrainer",
+    "make_pp_mesh",
+    "merge_pretrain_params",
+    "split_pretrain_params",
 ]
