@@ -132,6 +132,37 @@ def _tiny_bert(monkeypatch):
     monkeypatch.setattr(wsmod.Workspace, "_bert_config", staticmethod(tiny))
 
 
+@pytest.mark.slow
+def test_run_pretrain_pipeline_debug(tmp_path, monkeypatch):
+    """--mesh_pp 2: pipelined pretraining through the CLI, with --resume
+    continuing from a standard-layout checkpoint (loadable by the plain
+    model) plus the trainer's own opt_state layout."""
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1, mesh_pp=2)
+    state = runner.run_pretrain(cfg)
+    assert set(state["params"]) == {"rest", "stages"}
+    assert os.path.exists(os.path.join(cfg.output_dir, "train.csv"))
+    from visitron_tpu.train.checkpoint import CheckpointManager
+    first = CheckpointManager(cfg.output_dir).latest()
+    assert first is not None
+    # Checkpoint params are standard-layout (finetune consumers load them).
+    from visitron_tpu.parallel import merge_pretrain_params
+    std = merge_pretrain_params(state["params"]["rest"],
+                                state["params"]["stages"])
+    restored = CheckpointManager(cfg.output_dir).restore(
+        first, {"params": std})["params"]
+    enc = restored["params"]["bert"]["encoder"]
+    assert any(k.startswith("layer_") for k in enc)
+    # Resume continues (same --mesh_pp) without error.
+    cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2,
+                mesh_pp=2, resume=True)
+    state2 = runner.run_pretrain(cfg2)
+    assert CheckpointManager(cfg.output_dir).latest() > first
+    assert set(state2["params"]) == {"rest", "stages"}
+
+
 def test_cli_overrides_include_explicit_defaults():
     """A flag explicitly set to its default value still overrides a config
     file; unpassed flags do not."""

@@ -104,6 +104,12 @@ class RunConfig:
     # hardware
     mesh_dp: int = 0                   # 0 => all devices
     mesh_tp: int = 1
+    mesh_pp: int = 1                   # >1: pipeline-parallel pretraining
+                                       # (GPipe stages over a (dp, pp) mesh,
+                                       # parallel/pipeline.py; pretrain task
+                                       # only, single-host, excludes mesh_tp)
+    pipeline_microbatches: int = 0     # 0 => auto (<= 4*pp, divides the
+                                       # per-dp-shard batch)
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
     use_fused_attention: bool = True   # Pallas small-S single-pass kernel (TPU)
@@ -167,6 +173,10 @@ class RunConfig:
             raise ValueError(
                 f"--aug_keep_fraction must be in [0, 1] (0 disables the "
                 f"gate), got {self.aug_keep_fraction}")
+        if self.mesh_pp < 1:
+            raise ValueError(f"--mesh_pp must be >= 1, got {self.mesh_pp}")
+        if self.mesh_pp > 1 and self.mesh_tp > 1:
+            raise ValueError("--mesh_pp composes with dp only; drop --mesh_tp")
 
     @property
     def episode_len(self) -> int:

@@ -188,6 +188,7 @@ class PipelinePretrainTrainer:
     weight_decay: float = 0.0
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    bf16_adam_moments: bool = False
     seed: int = 42
     model: PretrainModel = field(init=False)
 
@@ -207,7 +208,7 @@ class PipelinePretrainTrainer:
         self.optimizer = adamw_with_warmup(
             self.learning_rate, self.warmup_steps, self.total_steps,
             self.schedule, self.weight_decay, self.adam_epsilon,
-            self.max_grad_norm)
+            self.max_grad_norm, bf16_moments=self.bf16_adam_moments)
         self._step = None
         self._eval = None
 
@@ -336,10 +337,27 @@ class PipelinePretrainTrainer:
         rest = jax.device_put(rest, NamedSharding(self.mesh, P()))
         stages = jax.device_put(stages, NamedSharding(self.mesh, P("pp")))
         pp_params = {"rest": rest, "stages": stages}
-        opt_state = jax.jit(self.optimizer.init)(pp_params)
+        # Explicit out_shardings: a bare jit(init) commits the whole optimizer
+        # state to one device (Adam moments of the stage params included),
+        # breaking placement at the first donated step and wasting HBM.
+        opt_state = jax.jit(self.optimizer.init,
+                            out_shardings=self.opt_shardings(pp_params))(
+            pp_params)
         rng = jax.device_put(jax.random.PRNGKey(self.seed + 1),
                              NamedSharding(self.mesh, P()))
         return {"params": pp_params, "opt_state": opt_state, "rng": rng}
+
+    def opt_shardings(self, pp_params):
+        """Optimizer-state shardings: moments mirror their params (stage
+        moments pp-sharded on the layer axis), scalars replicated."""
+        shapes = jax.eval_shape(self.optimizer.init, pp_params)
+
+        def spec(path, leaf):
+            if "'stages'" in jax.tree_util.keystr(path) and leaf.ndim >= 1:
+                return NamedSharding(self.mesh, P("pp"))
+            return NamedSharding(self.mesh, P())
+
+        return jax.tree_util.tree_map_with_path(spec, shapes)
 
     def checkpoint_params(self, state) -> dict:
         """Back to the standard layout (for orbax / standard-trainer eval)."""
@@ -389,3 +407,16 @@ class PipelinePretrainTrainer:
 
         self._eval = run
         return run
+
+    def evaluate(self, params_or_state, dataset, batch_size: int) -> dict:
+        """Mean metrics over a dataset (PretrainTrainer.evaluate parity;
+        single-host — the pipeline trainer does not take per-host shards)."""
+        ev = self.eval_fn()
+        sums: dict[str, float] = {}
+        n = 0
+        for batch in dataset.epoch_batches(batch_size, shuffle=False):
+            bundle = ev(params_or_state, batch)
+            for k, v in bundle.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}

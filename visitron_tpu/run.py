@@ -164,20 +164,48 @@ def run_pretrain(cfg: RunConfig):
             debug=cfg.debug, seed=cfg.seed, cache_path=cache)
 
     dataset = make_dataset(["train"])
-    mesh = make_mesh(dp=cfg.mesh_dp or None, tp=cfg.mesh_tp)
+    pipeline = cfg.mesh_pp > 1
+    if pipeline:
+        # GPipe pipeline parallelism (parallel/pipeline.py): encoder stages
+        # sharded over pp, microbatched activations over ICI.  Single-host
+        # (per-host pipelines; the dp axis still shards the batch).
+        assert jax.process_count() == 1, (
+            "--mesh_pp is single-host; combine with multi-host dp instead")
+        from visitron_tpu.parallel import PipelinePretrainTrainer, make_pp_mesh
+
+        dp = cfg.mesh_dp or jax.device_count() // cfg.mesh_pp
+        mesh = make_pp_mesh(dp=dp, pp=cfg.mesh_pp)
+    else:
+        mesh = make_mesh(dp=cfg.mesh_dp or None, tp=cfg.mesh_tp)
     bcfg = ws.bert_config.replace(detector_classes=len(detector_classes))
     steps_per_epoch = max(len(dataset) // cfg.train_batch_size(mesh.devices.size), 1)
-    trainer = PretrainTrainer(
-        bcfg, learning_rate=cfg.learning_rate, warmup_steps=cfg.warmup_steps,
+    common = dict(
+        learning_rate=cfg.learning_rate, warmup_steps=cfg.warmup_steps,
         total_steps=cfg.num_epochs * steps_per_epoch, schedule=cfg.scheduler,
         weight_decay=cfg.weight_decay, adam_epsilon=cfg.adam_epsilon,
         max_grad_norm=cfg.max_grad_norm,
-        bf16_adam_moments=cfg.bf16_adam_moments, mesh=mesh, seed=cfg.seed)
+        bf16_adam_moments=cfg.bf16_adam_moments, seed=cfg.seed)
     batch_size = cfg.train_batch_size(mesh.devices.size)
+    if pipeline:
+        per_shard = batch_size // mesh.shape["dp"]
+        microbatches = cfg.pipeline_microbatches or max(
+            m for m in range(1, min(4 * cfg.mesh_pp, per_shard) + 1)
+            if per_shard % m == 0)
+        trainer = PipelinePretrainTrainer(
+            bcfg, mesh=mesh, num_microbatches=microbatches, **common)
+    else:
+        trainer = PretrainTrainer(bcfg, mesh=mesh, **common)
     state = trainer.init_state(dataset.batch(range(min(batch_size, len(dataset)))))
     ckpt = CheckpointManager(cfg.output_dir, async_save=cfg.async_checkpoints)
     metrics = MetricsLogger(cfg.output_dir, "train")
     step = trainer.step_fn()
+
+    def save_params():
+        # Pipeline runs checkpoint params in the STANDARD layout so finetune /
+        # classifier / eval consumers load them unchanged; opt_state keeps the
+        # trainer's own layout (resume therefore needs the same --mesh_pp).
+        return trainer.checkpoint_params(state) if pipeline else state["params"]
+
     it = 0
     start_epoch = 0
     skip = 0
@@ -189,9 +217,19 @@ def run_pretrain(cfg: RunConfig):
         from visitron_tpu.parallel import replicate_state
 
         it = ckpt.latest()
-        restored = ckpt.restore(
-            it, {"params": state["params"], "opt_state": state["opt_state"]})
-        state = {**state, **replicate_state(mesh, restored)}
+        if pipeline:
+            restored = ckpt.restore(
+                it, {"params": trainer.checkpoint_params(state),
+                     "opt_state": state["opt_state"]})
+            opt_shardings = jax.tree.map(lambda x: x.sharding,
+                                         state["opt_state"])
+            state = trainer.state_from_params(restored["params"])
+            state["opt_state"] = jax.device_put(restored["opt_state"],
+                                                opt_shardings)
+        else:
+            restored = ckpt.restore(
+                it, {"params": state["params"], "opt_state": state["opt_state"]})
+            state = {**state, **replicate_state(mesh, restored)}
         start_epoch = min(it // steps_per_epoch, cfg.num_epochs)
         skip = it - start_epoch * steps_per_epoch
         logger.info("resumed from checkpoint-%d (epoch %d, skipping %d "
@@ -219,7 +257,7 @@ def run_pretrain(cfg: RunConfig):
                     logger.info("epoch %d iter %d %s", epoch, it, vals)
                     metrics.log(vals, step=it)
                 if guard.should_stop(it):
-                    ckpt.save(it, state["params"], state["opt_state"], wait=True)
+                    ckpt.save(it, save_params(), state["opt_state"], wait=True)
                     saved_it = it
                     logger.info("termination signal: saved checkpoint-%d, "
                                 "stopping (restart with --resume)", it)
@@ -227,7 +265,7 @@ def run_pretrain(cfg: RunConfig):
             if guard.stop:
                 break
             if saved_it != it:
-                ckpt.save(it, state["params"], state["opt_state"])
+                ckpt.save(it, save_params(), state["opt_state"])
             # Per-epoch validation over the val splits (pretrain.py:273-579 parity).
             for split in ("val_seen", "val_unseen"):
                 val_ds = make_dataset([split])
