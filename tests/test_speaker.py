@@ -86,6 +86,50 @@ def test_speaker_training_decreases_loss(trained):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_feat_dropout_and_movement_frame(world, speaker, trained, instances,
+                                         runtime, tok):
+    """feat_dropout only perturbs TRAINING (deterministic eval is untouched:
+    same params => identical held-out CE with/without it) and movement_frame
+    changes only the action ANGLE feature dims (visual dims and panorama are
+    frame-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    state, _ = trained
+    batcher = NavEpisodeBatcher(instances, runtime, batch_size=8,
+                                path_type="trusted_path")
+    text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i) for i in instances}
+    batch = speaker.attach_words(
+        next(batcher.train_batches(1, episode_len=EP_LEN)), tok, text_by_idx)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    kw = dict(runtime=runtime, feature_dim=world.scene_feat_dim,
+              vocab_size=len(tok), bos_id=tok.vocab[tok.cls_token],
+              eos_id=tok.vocab[tok.sep_token], pad_id=tok.pad_token_id,
+              episode_len=EP_LEN, max_words=16, hidden_size=32, wemb=16,
+              learning_rate=5e-3)
+    fd = SpeakerAgent(feat_dropout=0.5, **kw)
+    base = float(speaker.eval_loss_fn()(state["params"], jb))
+    assert float(fd.eval_loss_fn()(state["params"], jb)) == pytest.approx(base)
+
+    # Training with feat_dropout + movement_frame runs and learns.
+    both = SpeakerAgent(feat_dropout=0.5, movement_frame=True, **kw)
+    st = both.init_state()
+    step = both.train_step_fn()
+    st, loss = step(st, jb)
+    assert np.isfinite(float(loss))
+
+    # movement_frame: visual dims identical, angle dims differ somewhere.
+    mf = SpeakerAgent(movement_frame=True, **kw)
+    args = (runtime, jb["cur_row"], jb["view"], jb["teacher"], jb["active"])
+    a0, f0 = jax.jit(speaker._traj_feats)(*args)
+    a1, f1 = jax.jit(mf._traj_feats)(*args)
+    d = world.scene_feat_dim
+    np.testing.assert_allclose(np.asarray(a0[..., :d]), np.asarray(a1[..., :d]))
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1))
+    assert not np.allclose(np.asarray(a0[..., d:]), np.asarray(a1[..., d:]))
+
+
 def test_instance_text_prefers_dialog(instances):
     texts = [SpeakerAgent.instance_text(i) for i in instances]
     assert all(isinstance(t, str) and t for t in texts)

@@ -29,6 +29,68 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def parse_hops(sentence: str) -> list[str] | None:
+    """Parse a directional sentence into its per-hop turn categories.
+
+    Grammar (testing/synthetic.py:_directional_sentence): ``go`` then for each
+    hop ``straight`` | ``turn left`` | ``turn right`` | ``turn around``
+    followed by ``then``, closed with ``stop there``.  Returns the category
+    list (e.g. ["straight", "left"]) or None if the text doesn't parse."""
+    toks = sentence.split()
+    if not toks or toks[0] != "go":
+        return None
+    body = toks[1:]
+    if body[-2:] == ["stop", "there"]:
+        body = body[:-2]
+    hops: list[str] = []
+    i = 0
+    while i < len(body):
+        if body[i] == "straight":
+            hops.append("straight")
+            i += 1
+        elif body[i] == "turn" and i + 1 < len(body) and body[i + 1] in (
+                "left", "right", "around"):
+            hops.append(body[i + 1])
+            i += 2
+        else:
+            return None
+        if i < len(body) and body[i] == "then":
+            i += 1
+    return hops
+
+
+def caption_fidelity(records: list[dict], world, runtime) -> dict:
+    """Score captions against the world's oracle directional sentences.
+
+    The probe that closes the loop on the aug A/B: ``hop_acc`` (per-hop turn
+    -category accuracy over aligned positions), ``exact`` (full-sentence
+    category match), ``parse`` (fraction of captions in the directional
+    grammar at all), ``len_mae`` (mean |caption hops - oracle hops|)."""
+    n = len(records)
+    parsed = exact = 0
+    hop_hits = hop_total = 0
+    len_err = 0.0
+    for rec in records:
+        g = world.graphs[rec["scan"]]
+        oracle = parse_hops(world._directional_sentence(
+            g, [g.index[p] for p in rec["path"]], rec["heading"]))
+        cap = parse_hops(rec["instructions"][0])
+        assert oracle is not None
+        if cap is None:
+            len_err += len(oracle)
+            hop_total += len(oracle)
+            continue
+        parsed += 1
+        exact += cap == oracle
+        m = min(len(cap), len(oracle))
+        hop_hits += sum(c == o for c, o in zip(cap[:m], oracle[:m]))
+        hop_total += max(len(cap), len(oracle))
+        len_err += abs(len(cap) - len(oracle))
+    return {"n": n, "parse": round(parsed / n, 3), "exact": round(exact / n, 3),
+            "hop_acc": round(hop_hits / max(hop_total, 1), 3),
+            "len_mae": round(len_err / n, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=800)
@@ -64,6 +126,13 @@ def main() -> None:
                          "(skips speaker training) — the perfect-speaker "
                          "upper bound: separates the augmentation MECHANISM "
                          "from speaker caption quality")
+    ap.add_argument("--feat-dropout", type=float, default=0.0,
+                    help="EnvDrop-style speaker feature dropout on visual "
+                         "dims (angle features kept)")
+    ap.add_argument("--movement-frame", action="store_true",
+                    help="speaker action-angle features in the turn-delta "
+                         "frame (relative to the previous move's exact "
+                         "heading) instead of the snapped current view")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host-CPU backend (JAX_PLATFORMS env is "
                          "overridden by the relay sitecustomize; only "
@@ -137,7 +206,8 @@ def main() -> None:
                       eos_id=tok.vocab[tok.sep_token],
                       pad_id=tok.pad_token_id, episode_len=args.episode_len,
                       max_words=48, hidden_size=128, wemb=64,
-                      learning_rate=1e-3)
+                      learning_rate=1e-3, movement_frame=args.movement_frame,
+                      feat_dropout=args.feat_dropout)
     if args.oracle_captions:
         # Perfect-speaker upper bound: sample the same walk distribution but
         # caption each walk with the world's ground-truth directional
@@ -189,6 +259,8 @@ def main() -> None:
         aug_inst = build_aug_instances(aug_path, tok, max_seq_length=args.seq)
     print(json.dumps({"tag": "aug", "records": len(records),
                       "instances": len(aug_inst)}), flush=True)
+    print(json.dumps({"tag": "fidelity",
+                      **caption_fidelity(records, world, runtime)}), flush=True)
 
     # -- the arms, same budget -------------------------------------------------
     arm_instances = {"baseline": train_inst,

@@ -48,6 +48,12 @@ class SpeakerAgent:
     dropout: float = 0.5
     learning_rate: float = 1e-4
     seed: int = 88
+    movement_frame: bool = False     # action angle feats relative to the
+                                     # previous MOVE's exact heading (turn
+                                     # deltas), not the snapped current view
+    feat_dropout: float = 0.0        # EnvDrop-style feature dropout on the
+                                     # VISUAL dims only (angle feats kept),
+                                     # one mask per episode
 
     def __post_init__(self):
         f = self.feature_dim + self.angle_feat_size
@@ -80,8 +86,23 @@ class SpeakerAgent:
         slot = jnp.clip(teacher.reshape(-1), 0, rt.max_candidates - 1)
         pts = jnp.take_along_axis(rt.point[rows], slot[:, None], 1)[:, 0]
         a_vis = jnp.take_along_axis(pano, pts[:, None, None], 1)[:, 0]  # (BT, D)
-        base_heading = (views % geo.HEADINGS_PER_ROW).astype(a_vis.dtype) * geo.ANGLE_INC
-        ch = jnp.take_along_axis(rt.heading[rows], slot[:, None], 1)[:, 0] - base_heading
+        abs_h = jnp.take_along_axis(rt.heading[rows], slot[:, None], 1)[:, 0]
+        if self.movement_frame:
+            # Turn-delta frame: the angle feature is the taken candidate's
+            # heading relative to the PREVIOUS move's exact heading (step 0:
+            # the snapped start view) — the quantity turn-by-turn language
+            # encodes.  The default frame references the snapped current
+            # view, burying the delta under +-15 deg grid noise the LSTM
+            # must integrate across steps to undo.
+            abs_bt = abs_h.reshape(b, t)
+            start = ((view[:, 0] % geo.HEADINGS_PER_ROW).astype(abs_h.dtype)
+                     * geo.ANGLE_INC)
+            prev = jnp.concatenate([start[:, None], abs_bt[:, :-1]], axis=1)
+            ch = (abs_bt - prev).reshape(-1)
+        else:
+            base_heading = ((views % geo.HEADINGS_PER_ROW).astype(a_vis.dtype)
+                            * geo.ANGLE_INC)
+            ch = abs_h - base_heading
         ce = jnp.take_along_axis(rt.elev[rows], slot[:, None], 1)[:, 0]
         a_af = jnp.stack([jnp.sin(ch), jnp.cos(ch), jnp.sin(ce), jnp.cos(ce)], -1)
         a_t = jnp.concatenate([a_vis, a_af.astype(a_vis.dtype)], -1)  # (BT, D+4)
@@ -126,7 +147,24 @@ class SpeakerAgent:
         a_t, f_t = self._traj_feats(rt, batch["cur_row"], batch["view"],
                                     batch["teacher"], batch["active"])
         lengths = batch["active"].sum(axis=1).astype(jnp.int32)
-        r1, r2 = jax.random.split(rng)
+        r1, r2, rfd = jax.random.split(rng, 3)
+        if not deterministic and self.feat_dropout > 0.0:
+            # EnvDrop speaker featdrop (speaker.py in airsplay/R2R-EnvDrop):
+            # drop VISUAL feature dims only — the angle features survive, so
+            # the model is pushed toward the geometry that generalizes
+            # instead of memorizing per-viewpoint visual noise.  One mask per
+            # episode (consistent across steps/views), environmental-dropout
+            # style.
+            keep = jax.random.bernoulli(
+                rfd, 1.0 - self.feat_dropout,
+                (a_t.shape[0], 1, self.feature_dim)).astype(a_t.dtype)
+            scale = keep / (1.0 - self.feat_dropout)
+            a_t = jnp.concatenate(
+                [a_t[..., : self.feature_dim] * scale,
+                 a_t[..., self.feature_dim:]], -1)
+            f_t = jnp.concatenate(
+                [f_t[..., : self.feature_dim] * scale[:, :, None, :],
+                 f_t[..., self.feature_dim:]], -1)
         ctx = self.encoder.apply(params["encoder"], a_t, f_t, lengths,
                                  deterministic=deterministic,
                                  rngs=None if deterministic else {"dropout": r1})

@@ -151,6 +151,12 @@ class RunConfig:
     aug_targets: bool = False
     aug_keep_fraction: float = 0.0    # 0 = no gate; in (0, 1] over-generate
                                       # 1/frac and keep the best speaker-CE
+    speaker_feat_dropout: float = 0.3  # EnvDrop featdrop on visual dims
+                                       # (angle feats kept); the decisive
+                                       # caption-faithfulness lever in the
+                                       # aug A/B (tools/aug_ab.py)
+    speaker_movement_frame: bool = False  # action angle feats as turn deltas
+                                          # (vs the snapped current view)
 
     def __post_init__(self):
         valid = ("planner_path", "player_path", "trusted_path")
@@ -173,6 +179,10 @@ class RunConfig:
             raise ValueError(
                 f"--aug_keep_fraction must be in [0, 1] (0 disables the "
                 f"gate), got {self.aug_keep_fraction}")
+        if not (0.0 <= self.speaker_feat_dropout < 1.0):
+            raise ValueError(
+                f"--speaker_feat_dropout must be in [0, 1), got "
+                f"{self.speaker_feat_dropout}")
         if self.mesh_pp < 1:
             raise ValueError(f"--mesh_pp must be >= 1, got {self.mesh_pp}")
         if self.mesh_pp > 1 and self.mesh_tp > 1:

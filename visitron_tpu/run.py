@@ -289,7 +289,9 @@ def _speaker_for(cfg: RunConfig, ws):
         bos_id=tok.vocab[tok.cls_token], eos_id=tok.vocab[tok.sep_token],
         pad_id=tok.pad_token_id, episode_len=cfg.episode_len,
         max_words=cfg.max_words, hidden_size=cfg.rnn_dim,
-        dropout=cfg.dropout, learning_rate=cfg.learning_rate, seed=cfg.seed)
+        dropout=cfg.dropout, learning_rate=cfg.learning_rate, seed=cfg.seed,
+        feat_dropout=cfg.speaker_feat_dropout,
+        movement_frame=cfg.speaker_movement_frame)
 
 
 def run_speaker(cfg: RunConfig):
