@@ -126,6 +126,10 @@ def main() -> None:
                          "(skips speaker training) — the perfect-speaker "
                          "upper bound: separates the augmentation MECHANISM "
                          "from speaker caption quality")
+    ap.add_argument("--aug-seed", type=int, default=3,
+                    help="rng seed for walk sampling / caption generation "
+                         "(vary for spread estimates; arms and speaker "
+                         "training stay seed-pinned)")
     ap.add_argument("--feat-dropout", type=float, default=0.0,
                     help="EnvDrop-style speaker feature dropout on visual "
                          "dims (angle features kept)")
@@ -212,7 +216,7 @@ def main() -> None:
         # Perfect-speaker upper bound: sample the same walk distribution but
         # caption each walk with the world's ground-truth directional
         # sentence (what an ideal speaker would converge to).
-        aug_rng = np.random.default_rng(3)
+        aug_rng = np.random.default_rng(args.aug_seed)
         walks = sp.sample_walks(aug_rng, args.n_aug, min_hops=2,
                                 max_hops=args.episode_len - 2)
         records = []
@@ -247,7 +251,8 @@ def main() -> None:
                 print(json.dumps({"tag": "speaker", "step": it,
                                   "word_ce": round(float(loss), 4)}), flush=True)
 
-        records = sp.augment(sp_state["params"], tok, np.random.default_rng(3),
+        records = sp.augment(sp_state["params"], tok,
+                             np.random.default_rng(args.aug_seed),
                              args.n_aug, min_hops=2,
                              max_hops=args.episode_len - 2,
                              temperature=args.temperature,
