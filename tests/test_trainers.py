@@ -163,6 +163,29 @@ def test_run_pretrain_pipeline_debug(tmp_path, monkeypatch):
     assert set(state2["params"]) == {"rest", "stages"}
 
 
+@pytest.mark.slow
+def test_run_pretrain_sequence_parallel_debug(tmp_path, monkeypatch):
+    """--mesh_sp 2: sequence-parallel pretraining through the CLI.  Params
+    stay replicated in the STANDARD layout, so checkpoints and --resume work
+    identically to the plain trainer (unlike --mesh_pp, no layout conversion
+    is involved)."""
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1, mesh_sp=2)
+    state = runner.run_pretrain(cfg)
+    assert os.path.exists(os.path.join(cfg.output_dir, "train.csv"))
+    from visitron_tpu.train.checkpoint import CheckpointManager
+    first = CheckpointManager(cfg.output_dir).latest()
+    assert first is not None
+    import jax
+    assert jax.tree.leaves(state["params"])[0].sharding.is_fully_replicated
+    cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2,
+                mesh_sp=2, resume=True)
+    runner.run_pretrain(cfg2)
+    assert CheckpointManager(cfg.output_dir).latest() > first
+
+
 def test_cli_overrides_include_explicit_defaults():
     """A flag explicitly set to its default value still overrides a config
     file; unpassed flags do not."""

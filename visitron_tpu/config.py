@@ -110,6 +110,13 @@ class RunConfig:
                                        # only, single-host, excludes mesh_tp)
     pipeline_microbatches: int = 0     # 0 => auto (<= 4*pp, divides the
                                        # per-dp-shard batch)
+    mesh_sp: int = 1                   # >1: Ulysses-style sequence-parallel
+                                       # pretraining over a (dp, sp) mesh —
+                                       # activations token-sharded, attention
+                                       # head-sharded via two all-to-alls per
+                                       # layer (models/bert.py sp_constrain);
+                                       # pretrain task only, excludes
+                                       # mesh_tp/mesh_pp
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
     use_fused_attention: bool = True   # Pallas small-S single-pass kernel (TPU)
@@ -187,6 +194,11 @@ class RunConfig:
             raise ValueError(f"--mesh_pp must be >= 1, got {self.mesh_pp}")
         if self.mesh_pp > 1 and self.mesh_tp > 1:
             raise ValueError("--mesh_pp composes with dp only; drop --mesh_tp")
+        if self.mesh_sp < 1:
+            raise ValueError(f"--mesh_sp must be >= 1, got {self.mesh_sp}")
+        if self.mesh_sp > 1 and (self.mesh_tp > 1 or self.mesh_pp > 1):
+            raise ValueError(
+                "--mesh_sp composes with dp only; drop --mesh_tp/--mesh_pp")
 
     @property
     def episode_len(self) -> int:

@@ -22,6 +22,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec
 
 from visitron_tpu.ops.attention import (attention_supports_flash,
                                         attention_supports_flash_mesh,
@@ -72,6 +73,13 @@ class BertConfig:
     # training keeps the Pallas kernel — GSPMD cannot partition Mosaic
     # custom calls on its own.
     attention_mesh: Any = None
+    # Set by config_for_mesh on a (dp, sp) mesh: Ulysses-style sequence
+    # parallelism.  Activations carry token-sharded constraints
+    # P(dp, sp, None) between layers; inside self-attention the (B, H, S, D)
+    # operands are constrained head-sharded P(dp, sp, None, None), so the
+    # SPMD partitioner inserts the two all-to-alls per layer
+    # (tokens->heads before the score matmul, heads->tokens after).
+    sp_mesh: Any = None
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
@@ -92,9 +100,34 @@ def config_for_mesh(cfg: BertConfig, mesh) -> BertConfig:
     attention, which partitions cleanly."""
     if mesh is None or getattr(mesh, "size", 1) <= 1:
         return cfg
+    if "sp" in getattr(mesh, "axis_names", ()) and mesh.shape["sp"] > 1:
+        # Sequence parallelism: attention runs head-sharded over sp, so the
+        # heads must divide the axis.  The Pallas kernels stay available via
+        # their shard_map wrappers (whose in_specs perform the tokens->heads
+        # reshard; ops/attention.py:_mesh_head_axis maps the head axis to
+        # ``sp``); shapes that fail the mesh gates take XLA attention under
+        # the sp_constrain constraints.
+        assert cfg.num_attention_heads % mesh.shape["sp"] == 0, (
+            f"num_attention_heads={cfg.num_attention_heads} must divide "
+            f"sp={mesh.shape['sp']}")
+        keep_kernels = cfg.use_fused_attention or cfg.use_flash_attention
+        return cfg.replace(sp_mesh=mesh,
+                           attention_mesh=mesh if keep_kernels else None)
     if not (cfg.use_fused_attention or cfg.use_flash_attention):
         return cfg
     return cfg.replace(attention_mesh=mesh)
+
+
+def sp_constrain(x, cfg: BertConfig, spec):
+    """Apply a sequence-parallel sharding constraint (no-op off-sp).
+
+    ``spec`` is a ``PartitionSpec`` over the (dp, sp) mesh axes; used by the
+    model code at the token/head resharding boundaries."""
+    if cfg.sp_mesh is None:
+        return x
+    from jax.sharding import NamedSharding
+
+    return jax.lax.with_sharding_constraint(x, NamedSharding(cfg.sp_mesh, spec))
 
 
 def _dense(features, cfg: BertConfig, name=None, use_bias=True):
@@ -223,13 +256,28 @@ class BertSelfAttention(nn.Module):
                 ctx = flash_attention(split(q), split(k), split(v),
                                       bias[:, 0, 0, :], seed, rate)
         else:
+            q4, k4, v4 = split(q), split(k), split(v)
+            if cfg.sp_mesh is not None:
+                # tokens -> heads reshard (all-to-all #1): attention needs the
+                # full sequence per head, so shard the head axis instead.
+                head_spec = PartitionSpec("dp", "sp", None, None)
+                q4 = sp_constrain(q4, cfg, head_spec)
+                k4 = sp_constrain(k4, cfg, head_spec)
+                v4 = sp_constrain(v4, cfg, head_spec)
             ctx = multi_head_attention(
-                split(q), split(k), split(v), bias=bias,
+                q4, k4, v4, bias=bias,
                 dropout_rng=None if deterministic else self.make_rng("dropout"),
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 deterministic=deterministic,
             )
+            if cfg.sp_mesh is not None:
+                ctx = sp_constrain(ctx, cfg,
+                                   PartitionSpec("dp", "sp", None, None))
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, cfg.hidden_size)
+        if cfg.sp_mesh is not None:
+            # heads -> tokens reshard (all-to-all #2): the output projection,
+            # residual and MLP all compute on 1/sp of the tokens.
+            ctx = sp_constrain(ctx, cfg, PartitionSpec("dp", "sp", None))
         return ctx.astype(cfg.dtype)
 
 
@@ -251,7 +299,7 @@ class BertLayer(nn.Module):
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="output_layer_norm")(out + hidden).astype(cfg.dtype)
-        return hidden
+        return sp_constrain(hidden, cfg, PartitionSpec("dp", "sp", None))
 
 
 class BertEncoder(nn.Module):
@@ -352,6 +400,10 @@ class VisitronBert(nn.Module):
             )
             attention_mask = jnp.concatenate([pad, attention_mask], axis=-1)
         bias = make_attention_bias(attention_mask)
+        # Sequence parallelism: the joint sequence enters the encoder
+        # token-sharded; the (B, 1, 1, K) bias stays replicated (every head
+        # shard attends over the full key length).
+        emb = sp_constrain(emb, cfg, PartitionSpec("dp", "sp", None))
         return emb, bias
 
     def __call__(

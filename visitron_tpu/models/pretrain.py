@@ -18,8 +18,10 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec
 
-from visitron_tpu.models.bert import BertConfig, VisitronBert, _dense
+from visitron_tpu.models.bert import (BertConfig, VisitronBert, _dense,
+                                      sp_constrain)
 
 
 def masked_cross_entropy(logits, labels, ignore_id: int = -1):
@@ -88,6 +90,13 @@ class PretrainModel(nn.Module):
         mlm_logits = self.bert.attend_vocab(x).astype(jnp.float32) + self.mlm_bias
         action_logits = self.next_action(pooled).astype(jnp.float32)
         token_logits = self.token_head(seq).astype(jnp.float32)
+        # Sequence parallelism: keep the (B, S, vocab) logits — the largest
+        # activation in the program — token-sharded; the CE reduction then
+        # psums across sp shards.
+        mlm_logits = sp_constrain(mlm_logits, self.cfg,
+                                  PartitionSpec("dp", "sp", None))
+        token_logits = sp_constrain(token_logits, self.cfg,
+                                    PartitionSpec("dp", "sp", None))
         return {
             "sequence_output": seq,
             "pooled_output": pooled,

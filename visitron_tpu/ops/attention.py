@@ -385,20 +385,36 @@ def attention_supports_flash(q_len: int, k_len: int, head_dim: int) -> bool:
     )
 
 
+def _mesh_head_axis(mesh) -> str | None:
+    """The mesh axis attention shards its head dimension over.
+
+    ``tp`` on a (dp, tp) mesh; ``sp`` on a (dp, sp) sequence-parallel mesh —
+    inside self-attention, Ulysses sequence parallelism IS head sharding
+    (tokens are re-sharded to heads at the attention boundary), so the same
+    shard_map wrappers serve both.  None for any other mesh shape."""
+    names = set(getattr(mesh, "axis_names", ()))
+    if names == {"dp", "tp"}:
+        return "tp"
+    if names == {"dp", "sp"}:
+        return "sp"
+    return None
+
+
 def attention_supports_flash_mesh(mesh, q_len: int, k_len: int,
                                   head_dim: int, batch: int,
                                   num_heads: int) -> bool:
     """Gate for :func:`flash_attention_mesh`: per-shard shapes must pass the
     single-device flash gate, and batch/heads must divide the mesh axes
-    (attention is sharded over (B -> dp, H -> tp); Q/K stay whole)."""
+    (attention is sharded over (B -> dp, H -> tp|sp); Q/K stay whole)."""
     if mesh is None:
         return False
+    head_axis = _mesh_head_axis(mesh)
+    if head_axis is None:
+        return False
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    dp, tp = axes.get("dp", 1), axes.get("tp", 1)
     return (
-        set(mesh.axis_names) == {"dp", "tp"}
-        and batch % dp == 0
-        and num_heads % tp == 0
+        batch % axes.get("dp", 1) == 0
+        and num_heads % axes.get(head_axis, 1) == 0
         and attention_supports_flash(q_len, k_len, head_dim)
     )
 
@@ -414,35 +430,37 @@ def flash_attention_mesh(q, k, v, key_bias, dropout_seed=None,
     (batch, heads)), but wrapping the blockwise flash kernel so long joint
     sequences (S > 768, past the fused kernel's VMEM gate) keep a Pallas
     path on multi-chip meshes instead of falling back to XLA attention.
-    Each shard folds its (dp, tp) coordinates into the dropout seed so no
-    two devices reuse a mask stream; the same offset is recomputed inside
-    the vjp, so forward/backward masks agree.  Gate with
+    Each shard folds its (dp, head-axis) coordinates into the dropout seed
+    so no two devices reuse a mask stream; the same offset is recomputed
+    inside the vjp, so forward/backward masks agree.  Gate with
     :func:`attention_supports_flash_mesh`."""
     from jax.sharding import PartitionSpec as P
 
     shard_map = jax.shard_map
 
     has_seed = dropout_seed is not None
+    head_axis = _mesh_head_axis(mesh)
 
     def body(q, k, v, key_bias, *seed_args):
         seed = None
         if has_seed:
             di = jax.lax.axis_index("dp").astype(jnp.int32)
-            ti = jax.lax.axis_index("tp").astype(jnp.int32)
+            ti = jax.lax.axis_index(head_axis).astype(jnp.int32)
             seed = (jnp.asarray(seed_args[0], jnp.int32)
                     + di * jnp.int32(1000003) + ti * jnp.int32(7919))
         return flash_attention(q, k, v, key_bias, seed, dropout_rate,
                                block_q, block_k, interpret)
 
-    in_specs = [P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp")]
+    in_specs = [P("dp", head_axis), P("dp", head_axis), P("dp", head_axis),
+                P("dp")]
     args = [q, k, v, key_bias]
     if has_seed:
         in_specs.append(P())
         args.append(jnp.asarray(dropout_seed, jnp.int32))
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
-    # annotation, and every output IS dp/tp-varying by construction here.
+    # annotation, and every output IS dp/head-axis-varying by construction.
     return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                     out_specs=P("dp", "tp"), check_vma=False)(*args)
+                     out_specs=P("dp", head_axis), check_vma=False)(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -687,12 +705,13 @@ def attention_supports_fused_mesh(mesh, q_len: int, k_len: int,
     the single-device gate, and batch/heads must divide the mesh axes."""
     if mesh is None:
         return False
+    head_axis = _mesh_head_axis(mesh)
+    if head_axis is None:
+        return False
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    dp, tp = axes.get("dp", 1), axes.get("tp", 1)
     return (
-        set(mesh.axis_names) == {"dp", "tp"}
-        and batch % dp == 0
-        and num_heads % tp == 0
+        batch % axes.get("dp", 1) == 0
+        and num_heads % axes.get(head_axis, 1) == 0
         and attention_supports_fused(q_len, k_len, head_dim)
     )
 
@@ -706,32 +725,37 @@ def fused_attention_mesh(q, k, v, key_bias, dropout_seed=None,
     embarrassingly parallel over (batch, heads): shard_map places one
     ordinary fused kernel per device on its (B/dp, H/tp, S, D) shard —
     multi-chip training keeps the kernel instead of falling back to XLA
-    attention.  Each shard folds its (dp, tp) coordinates into the dropout
-    seed so no two devices reuse a mask stream (forward/backward agreement
-    is preserved: the same offset is recomputed inside the vjp).  Gate with
-    :func:`attention_supports_fused_mesh`."""
+    attention.  On a (dp, sp) sequence-parallel mesh the head axis is ``sp``
+    (the shard_map in_specs perform the tokens->heads reshard; the
+    out_specs hand a head-sharded context back to the model's token
+    constraint).  Each shard folds its (dp, head-axis) coordinates into the
+    dropout seed so no two devices reuse a mask stream (forward/backward
+    agreement is preserved: the same offset is recomputed inside the vjp).
+    Gate with :func:`attention_supports_fused_mesh`."""
     from jax.sharding import PartitionSpec as P
 
     shard_map = jax.shard_map
 
     has_seed = dropout_seed is not None
+    head_axis = _mesh_head_axis(mesh)
 
     def body(q, k, v, key_bias, *seed_args):
         seed = None
         if has_seed:
             di = jax.lax.axis_index("dp").astype(jnp.int32)
-            ti = jax.lax.axis_index("tp").astype(jnp.int32)
+            ti = jax.lax.axis_index(head_axis).astype(jnp.int32)
             seed = (jnp.asarray(seed_args[0], jnp.int32)
                     + di * jnp.int32(1000003) + ti * jnp.int32(7919))
         return fused_attention(q, k, v, key_bias, seed, dropout_rate,
                                interpret)
 
-    in_specs = [P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp")]
+    in_specs = [P("dp", head_axis), P("dp", head_axis), P("dp", head_axis),
+                P("dp")]
     args = [q, k, v, key_bias]
     if has_seed:
         in_specs.append(P())
         args.append(jnp.asarray(dropout_seed, jnp.int32))
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
-    # annotation, and every output IS dp/tp-varying by construction here.
+    # annotation, and every output IS dp/head-axis-varying by construction.
     return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                     out_specs=P("dp", "tp"), check_vma=False)(*args)
+                     out_specs=P("dp", head_axis), check_vma=False)(*args)

@@ -1,6 +1,7 @@
 from visitron_tpu.parallel.mesh import (
     MeshSpec,
     make_mesh,
+    make_sp_mesh,
     maybe_mesh,
     batch_sharding,
     replicated_sharding,
@@ -19,6 +20,7 @@ from visitron_tpu.parallel.pipeline import (
 __all__ = [
     "MeshSpec",
     "make_mesh",
+    "make_sp_mesh",
     "maybe_mesh",
     "batch_sharding",
     "replicated_sharding",

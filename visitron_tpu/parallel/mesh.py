@@ -49,6 +49,24 @@ def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("dp", "tp"))
 
 
+def make_sp_mesh(dp: int, sp: int, devices=None) -> Mesh:
+    """A (dp, sp) mesh: data-parallel rows of sequence-parallel groups.
+
+    ``sp`` shards the token dimension of every activation (DeepSpeed-Ulysses
+    style): embeddings/MLPs/heads compute on 1/sp of the joint sequence per
+    device, and self-attention re-shards tokens->heads and back with two
+    all-to-alls per layer (inserted by the SPMD partitioner from the
+    sharding constraints in models/bert.py).  Parameters stay replicated.
+    The reference has no sequence parallelism at all (SURVEY §2.3); this is
+    the long-context scale-out axis for dialogs past one chip's activation
+    memory."""
+    devices = devices if devices is not None else jax.devices()
+    assert dp * sp <= len(devices), f"mesh {dp}x{sp} exceeds {len(devices)} devices"
+    grid = mesh_utils.create_device_mesh(
+        (dp, sp), devices=np.asarray(devices[: dp * sp]))
+    return Mesh(grid, ("dp", "sp"))
+
+
 def maybe_mesh(dp: int = 0, tp: int = 1) -> Mesh | None:
     """Mesh from run-config flags: None on a lone device with no explicit
     request (skips sharding plumbing); otherwise a (dp, tp) mesh over all

@@ -175,6 +175,15 @@ def run_pretrain(cfg: RunConfig):
 
         dp = cfg.mesh_dp or jax.device_count() // cfg.mesh_pp
         mesh = make_pp_mesh(dp=dp, pp=cfg.mesh_pp)
+    elif cfg.mesh_sp > 1:
+        # Ulysses-style sequence parallelism (parallel/mesh.py:make_sp_mesh):
+        # activations token-sharded over sp, parameters replicated; the
+        # standard PretrainTrainer runs unchanged (config_for_mesh attaches
+        # the sp constraints inside the model).
+        from visitron_tpu.parallel import make_sp_mesh
+
+        dp = cfg.mesh_dp or jax.device_count() // cfg.mesh_sp
+        mesh = make_sp_mesh(dp=dp, sp=cfg.mesh_sp)
     else:
         mesh = make_mesh(dp=cfg.mesh_dp or None, tp=cfg.mesh_tp)
     bcfg = ws.bert_config.replace(detector_classes=len(detector_classes))
