@@ -165,25 +165,35 @@ def test_run_pretrain_pipeline_debug(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_run_pretrain_sequence_parallel_debug(tmp_path, monkeypatch):
-    """--mesh_sp 2: sequence-parallel pretraining through the CLI.  Params
-    stay replicated in the STANDARD layout, so checkpoints and --resume work
-    identically to the plain trainer (unlike --mesh_pp, no layout conversion
-    is involved)."""
+    """--mesh_sp 2 --zero1: sequence-parallel pretraining with dp-sharded
+    optimizer state through the CLI.  Params stay replicated in the STANDARD
+    layout, so checkpoints and --resume work identically to the plain
+    trainer (unlike --mesh_pp, no layout conversion is involved); --resume
+    must restore the moments back to their dp shards, not replicate them."""
     from visitron_tpu import run as runner
 
     _tiny_bert(monkeypatch)
-    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1, mesh_sp=2)
+    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1,
+               mesh_sp=2, zero1=True)
     state = runner.run_pretrain(cfg)
     assert os.path.exists(os.path.join(cfg.output_dir, "train.csv"))
     from visitron_tpu.train.checkpoint import CheckpointManager
     first = CheckpointManager(cfg.output_dir).latest()
     assert first is not None
     import jax
-    assert jax.tree.leaves(state["params"])[0].sharding.is_fully_replicated
+
+    def check_shardings(st):
+        assert jax.tree.leaves(st["params"])[0].sharding.is_fully_replicated
+        big = max(jax.tree.leaves(st["opt_state"]), key=lambda x: x.size)
+        dp = 8 // 2  # mesh_sp=2 over the 8 virtual devices
+        assert big.addressable_shards[0].data.size == big.size // dp
+
+    check_shardings(state)
     cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2,
-                mesh_sp=2, resume=True)
-    runner.run_pretrain(cfg2)
+                mesh_sp=2, zero1=True, resume=True)
+    state2 = runner.run_pretrain(cfg2)
     assert CheckpointManager(cfg.output_dir).latest() > first
+    check_shardings(state2)
 
 
 def test_cli_overrides_include_explicit_defaults():

@@ -131,6 +131,11 @@ class RunConfig:
     # Store Adam first/second moments in bfloat16 (arithmetic stays fp32).
     # Halves optimizer-state HBM traffic; see train/optim.py:scale_by_adam_lowp.
     bf16_adam_moments: bool = False
+    # ZeRO-1 (pretrain task): shard the optimizer state over the dp mesh
+    # axis — each chip holds 1/dp of the Adam moments; the SPMD partitioner
+    # derives the gradient slice and parameter-delta all-gather
+    # (parallel/mesh.py:zero1_opt_rules).  Composes with --mesh_sp.
+    zero1: bool = False
     # Conv compute dtype for the offline feature extractors.  "default" =
     # per-pipeline: extract_scene runs bfloat16 (1.64x faster on v5e at ~2%
     # mean drift of the globally pooled features), extract_regions runs
@@ -199,6 +204,10 @@ class RunConfig:
         if self.mesh_sp > 1 and (self.mesh_tp > 1 or self.mesh_pp > 1):
             raise ValueError(
                 "--mesh_sp composes with dp only; drop --mesh_tp/--mesh_pp")
+        if self.zero1 and self.mesh_pp > 1:
+            raise ValueError(
+                "--zero1 applies to the standard pretrain trainer; the "
+                "pipeline trainer stage-shards its own optimizer state")
 
     @property
     def episode_len(self) -> int:

@@ -8,6 +8,7 @@ from visitron_tpu.parallel.mesh import (
     replicate_state,
     shard_batch,
     shard_params_rules,
+    zero1_opt_rules,
     host_shard_info,
 )
 from visitron_tpu.parallel.pipeline import (
@@ -27,6 +28,7 @@ __all__ = [
     "replicate_state",
     "shard_batch",
     "shard_params_rules",
+    "zero1_opt_rules",
     "host_shard_info",
     "PipelinePretrainTrainer",
     "make_pp_mesh",

@@ -91,8 +91,10 @@ def shard_params_rules(mesh: Mesh, params):
     BERT-base parameters are replicated (dp training).  When tp > 1, the
     dimension-matched rules shard the fused QKV/output projections and MLP
     across ``tp``: kernels with a 3072/4x-hidden axis split on that axis.
+    Meshes without a tp axis (dp-only, (dp, sp), (dp, pp)) replicate
+    everything.
     """
-    tp = mesh.shape["tp"]
+    tp = dict(mesh.shape).get("tp", 1)
 
     def rule(path, x):
         if tp == 1 or x.ndim < 2:
@@ -107,6 +109,32 @@ def shard_params_rules(mesh: Mesh, params):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def zero1_opt_rules(mesh: Mesh, opt_state):
+    """ZeRO-1 shardings for an optimizer-state pytree: moments over ``dp``.
+
+    Data-parallel training replicates the Adam moments (2x params of pure
+    redundancy — the reference's DDP does the same); ZeRO-1 instead shards
+    each state leaf over the dp axis on its first dp-divisible dimension
+    and lets the SPMD partitioner slice the (replicated) gradients into the
+    sharded update and all-gather the parameter delta.  Scalars and
+    undividable leaves stay replicated.  Parameters and the forward/backward
+    pass are untouched — this is purely an optimizer-memory/HBM-traffic
+    trade, the first ZeRO stage."""
+    dp = dict(mesh.shape).get("dp", 1)
+
+    def rule(x):
+        ndim = getattr(x, "ndim", 0)
+        if dp > 1 and ndim >= 1:
+            for axis in range(ndim):
+                if x.shape[axis] >= dp and x.shape[axis] % dp == 0:
+                    spec = [None] * ndim
+                    spec[axis] = "dp"
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, opt_state)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -195,6 +195,8 @@ def run_pretrain(cfg: RunConfig):
         max_grad_norm=cfg.max_grad_norm,
         bf16_adam_moments=cfg.bf16_adam_moments, seed=cfg.seed)
     batch_size = cfg.train_batch_size(mesh.devices.size)
+    if not pipeline:
+        common["zero1"] = cfg.zero1
     if pipeline:
         per_shard = batch_size // mesh.shape["dp"]
         microbatches = cfg.pipeline_microbatches or max(
@@ -223,8 +225,6 @@ def run_pretrain(cfg: RunConfig):
         # restores the exact params + optimizer state (schedule position
         # lives in opt_state), re-aligns the epoch-keyed shuffle, and skips
         # the completed slice of an in-progress epoch.
-        from visitron_tpu.parallel import replicate_state
-
         it = ckpt.latest()
         if pipeline:
             restored = ckpt.restore(
@@ -238,7 +238,12 @@ def run_pretrain(cfg: RunConfig):
         else:
             restored = ckpt.restore(
                 it, {"params": state["params"], "opt_state": state["opt_state"]})
-            state = {**state, **replicate_state(mesh, restored)}
+            # Restore to the template's shardings (replicated normally;
+            # dp-sharded moments under --zero1).
+            shardings = jax.tree.map(
+                lambda x: x.sharding,
+                {"params": state["params"], "opt_state": state["opt_state"]})
+            state = {**state, **jax.device_put(restored, shardings)}
         start_epoch = min(it // steps_per_epoch, cfg.num_epochs)
         skip = it - start_epoch * steps_per_epoch
         logger.info("resumed from checkpoint-%d (epoch %d, skipping %d "

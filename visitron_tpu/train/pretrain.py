@@ -35,6 +35,11 @@ class PretrainTrainer:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     bf16_adam_moments: bool = False
+    # ZeRO-1: shard the optimizer state over the dp axis (parallel/mesh.py:
+    # zero1_opt_rules) — moments hold 1/dp of their replicated footprint per
+    # chip and the SPMD partitioner derives the grad slice / param-delta
+    # all-gather.  Composes with sp; the pipeline trainer shards its own.
+    zero1: bool = False
     mesh: Any = None
     seed: int = 42
     model: PretrainModel = field(init=False)
@@ -52,6 +57,7 @@ class PretrainTrainer:
             bf16_moments=self.bf16_adam_moments)
         self._step_fn = None
         self._eval_fn = None
+        self._opt_rules = None  # set by init_state when zero1 is on
 
     # -- initialization ------------------------------------------------------
     def init_state(self, sample_batch) -> dict:
@@ -71,9 +77,15 @@ class PretrainTrainer:
 
         params, opt_state = init(rng)
         rep = replicated_sharding(self.mesh)
+        opt_sharding = rep
+        if self.zero1:
+            from visitron_tpu.parallel import zero1_opt_rules
+
+            self._opt_rules = zero1_opt_rules(self.mesh, opt_state)
+            opt_sharding = self._opt_rules
         state = {
             "params": jax.device_put(params, rep),
-            "opt_state": jax.device_put(opt_state, rep),
+            "opt_state": jax.device_put(opt_state, opt_sharding),
             "rng": jax.device_put(jax.random.PRNGKey(self.seed + 1), rep),
         }
         return state
@@ -113,6 +125,17 @@ class PretrainTrainer:
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            if self._opt_rules is not None:
+                # ZeRO-1: pin the new optimizer state to its dp sharding and
+                # the params replicated, so the layouts are stable across
+                # steps (the compiler would otherwise be free to replicate
+                # the moments or shard the params on the way out).
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, self._opt_rules)
+                params = jax.lax.with_sharding_constraint(
+                    params, NamedSharding(self.mesh, PartitionSpec()))
             new_state = {"params": params, "opt_state": opt_state, "rng": rng}
             return new_state, bundle
 
