@@ -89,6 +89,58 @@ def test_zero1_composes_with_sequence_parallelism():
     assert big.addressable_shards[0].data.size == big.size // 2
 
 
+def test_zero1_viewpoint_agent_parity():
+    """The nav fine-tune agent under zero1: one teacher-forced train step
+    matches the replicated agent; moments stay dp-sharded across steps."""
+    import tempfile
+
+    from visitron_tpu.agents import NavRuntime, ViewpointAgent
+    from visitron_tpu.agents.batcher import NavEpisodeBatcher
+    from visitron_tpu.data import (SceneFeatureTable, WordPieceTokenizer,
+                                   build_wordpiece_vocab)
+    from visitron_tpu.data.datasets import build_nav_instances
+    from visitron_tpu.testing import SyntheticWorld
+    from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
+
+    world = SyntheticWorld(seed=5, num_scans=1, viewpoints_per_scan=12,
+                           scene_feat_dim=16)
+    table = SceneFeatureTable.pack(world.graphs, world.scene_features(), vfov=60)
+    rt = NavRuntime.build(world.graphs, table)
+    tok = WordPieceTokenizer(build_wordpiece_vocab(
+        [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=512))
+    with tempfile.TemporaryDirectory() as d:
+        world.write_task_data(d, counts={"train": 8})
+        inst = build_nav_instances(d, ["train"], tok, max_seq_length=64)
+    cfg = BertConfig(vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64, type_vocab_size=4)
+
+    def make(zero1):
+        return ViewpointAgent(cfg, rt, feature_dim=16, episode_len=4,
+                              rnn_dim=16, encoder_hidden_size=16, aemb=8,
+                              max_seq_length=64, mesh=make_mesh(dp=8),
+                              zero1=zero1)
+
+    plain, z = make(False), make(True)
+    batcher = NavEpisodeBatcher(inst, rt, batch_size=8,
+                                path_type="planner_path")
+    batch = next(batcher.train_batches(1, episode_len=4))
+    jb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    ps, zs = plain.init_state(), z.init_state()
+    big = max(jax.tree.leaves(zs["opt_state"]), key=lambda x: x.size)
+    assert big.addressable_shards[0].data.size == big.size // 8
+    ps, pl = plain.train_step_fn()(ps, jb)
+    zs, zl = z.train_step_fn()(zs, jb)
+    assert np.isclose(float(pl), float(zl), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ps["params"]), jax.tree.leaves(zs["params"])):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-6, atol=1e-7)
+    big = max(jax.tree.leaves(zs["opt_state"]), key=lambda x: x.size)
+    assert big.addressable_shards[0].data.size == big.size // 8
+    assert jax.tree.leaves(zs["params"])[0].sharding.is_fully_replicated
+
+
 def test_zero1_cli_validation():
     from visitron_tpu.config import RunConfig
 

@@ -82,6 +82,9 @@ class ViewpointAgent:
     max_grad_norm: float = 40.0
     bf16_adam_moments: bool = False  # store Adam mu/nu in bf16 (halves
                                      # optimizer-state HBM traffic)
+    zero1: bool = False  # ZeRO-1: shard the optimizer state over the dp
+                         # mesh axis (parallel/mesh.py:zero1_opt_rules);
+                         # needs a mesh, params stay replicated
     seed: int = 88
     max_seq_length: int = 512
     temperature: float = 1.0  # temperature/penalty feedback scaling
@@ -129,6 +132,7 @@ class ViewpointAgent:
         self._encode = {}
         self._student_step = {}
         self._rt_placed = None
+        self._opt_rules = None  # set by init_state when zero1 is on
         self.results: dict = {}
 
     # -- parameter init ------------------------------------------------------
@@ -173,9 +177,28 @@ class ViewpointAgent:
             from visitron_tpu.parallel import replicated_sharding
 
             state = jax.device_put(state, replicated_sharding(self.mesh))
+            if self.zero1:
+                from visitron_tpu.parallel import zero1_opt_rules
+
+                self._opt_rules = zero1_opt_rules(self.mesh, state["opt_state"])
+                state["opt_state"] = jax.device_put(state["opt_state"],
+                                                    self._opt_rules)
         return state
 
     # -- shared pieces ---------------------------------------------------------
+    def _pin_layouts(self, params, opt_state):
+        """ZeRO-1 layout stability inside the jitted steps: keep the new
+        optimizer state on its dp shards and params replicated (the compiler
+        is otherwise free to re-replicate the moments on the way out)."""
+        if self._opt_rules is None:
+            return params, opt_state
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        opt_state = jax.lax.with_sharding_constraint(opt_state, self._opt_rules)
+        params = jax.lax.with_sharding_constraint(
+            params, NamedSharding(self.mesh, PartitionSpec()))
+        return params, opt_state
+
     @staticmethod
     def trim_batch(batch: dict, bucket: int = 128) -> dict:
         """Trim dialog arrays to the batch's max length rounded up to a
@@ -459,6 +482,7 @@ class ViewpointAgent:
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            params, opt_state = self._pin_layouts(params, opt_state)
             return {"params": params, "opt_state": opt_state, "rng": rng}, (loss, aux)
 
         def run(state, batch):
@@ -483,6 +507,7 @@ class ViewpointAgent:
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            params, opt_state = self._pin_layouts(params, opt_state)
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
         def run(state, batch):
@@ -507,6 +532,7 @@ class ViewpointAgent:
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            params, opt_state = self._pin_layouts(params, opt_state)
             return {"params": params, "opt_state": opt_state, "rng": rng}, loss
 
         def run(state, batch):

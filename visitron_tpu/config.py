@@ -131,10 +131,11 @@ class RunConfig:
     # Store Adam first/second moments in bfloat16 (arithmetic stays fp32).
     # Halves optimizer-state HBM traffic; see train/optim.py:scale_by_adam_lowp.
     bf16_adam_moments: bool = False
-    # ZeRO-1 (pretrain task): shard the optimizer state over the dp mesh
-    # axis — each chip holds 1/dp of the Adam moments; the SPMD partitioner
-    # derives the gradient slice and parameter-delta all-gather
-    # (parallel/mesh.py:zero1_opt_rules).  Composes with --mesh_sp.
+    # ZeRO-1 (pretrain + viewpoint fine-tune): shard the optimizer state
+    # over the dp mesh axis — each chip holds 1/dp of the Adam moments; the
+    # SPMD partitioner derives the gradient slice and parameter-delta
+    # all-gather (parallel/mesh.py:zero1_opt_rules).  Composes with
+    # --mesh_sp; needs a multi-device mesh (no-op on one chip).
     zero1: bool = False
     # Conv compute dtype for the offline feature extractors.  "default" =
     # per-pipeline: extract_scene runs bfloat16 (1.64x faster on v5e at ~2%

@@ -54,6 +54,7 @@ class ViewpointTrainer:
             learning_rate=self.cfg.learning_rate,
             max_grad_norm=self.cfg.agent_max_grad_norm,
             bf16_adam_moments=self.cfg.bf16_adam_moments,
+            zero1=self.cfg.zero1 and self.mesh is not None,
             seed=self.cfg.seed,
             max_seq_length=self.cfg.max_seq_length,
             temperature=self.cfg.temperature,
@@ -128,9 +129,15 @@ class ViewpointTrainer:
             restored = self.ckpt.restore(
                 start_it, {"params": state["params"], "opt_state": state["opt_state"]})
             if self.mesh is not None:
-                from visitron_tpu.parallel import replicate_state
+                # Restore to the template state's shardings: replicated
+                # normally, dp-sharded moments under --zero1.
+                import jax
 
-                restored = replicate_state(self.mesh, restored)
+                shardings = jax.tree.map(
+                    lambda x: x.sharding,
+                    {"params": state["params"],
+                     "opt_state": state["opt_state"]})
+                restored = jax.device_put(restored, shardings)
             state = {**state, **restored}
             batcher.skip_batches(start_it)
             self.logger.info("resumed from checkpoint-%d", start_it)
