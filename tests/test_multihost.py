@@ -161,6 +161,41 @@ assert len(plosses) == 2, len(plosses)  # 8 examples / 2 hosts / batch 2
 assert all(np.isfinite(plosses)), plosses
 print(f"PRETRAIN {jax.process_index()} {plosses[0]:.6f} {plosses[1]:.6f}", flush=True)
 
+# ---- ZeRO-1 under jax.distributed: moments sharded ACROSS processes.  Same
+# seed/data as the plain trainer above, so the losses must match exactly;
+# checkpoint save/restore must round-trip the cross-process shards (the
+# numpy path cannot — train/checkpoint.py restores them via abstract
+# sharded targets).
+ztrainer = PretrainTrainer(pcfg, mesh=mesh, total_steps=10,
+                           schedule="constant", zero1=True)
+zstate = ztrainer.init_state(pds.batch(range(2)))
+def _zbig(st):
+    return max(jax.tree.leaves(st["opt_state"]), key=lambda x: x.size)
+big = _zbig(zstate)
+assert not big.is_fully_addressable  # spans both processes
+local = sum(sh.data.size for sh in big.addressable_shards)
+assert local == big.size // 2, (local, big.size)
+zstep = ztrainer.step_fn()
+zlosses = []
+pds.set_epoch(0)  # replay the exact epoch-0 shuffle/masking the plain
+                  # trainer consumed, so the losses are comparable
+for batch in pds.epoch_batches(2, host_id=jax.process_index(), num_hosts=2):
+    zstate, zb = zstep(zstate, batch)
+    zlosses.append(float(zb["loss"]))
+big = _zbig(zstate)
+assert not big.is_fully_addressable
+from visitron_tpu.train.checkpoint import CheckpointManager as _CM
+cm = _CM(sys.argv[2])
+cm.save(1, zstate["params"], zstate["opt_state"], wait=True)
+restored = cm.restore(1, {"params": zstate["params"],
+                          "opt_state": zstate["opt_state"]})
+rbig = _zbig(restored)
+assert rbig.sharding.is_equivalent_to(big.sharding, rbig.ndim)
+np.testing.assert_array_equal(
+    np.asarray(rbig.addressable_shards[0].data),
+    np.asarray(big.addressable_shards[0].data))
+print(f"ZERO1 {jax.process_index()} {zlosses[0]:.6f} {zlosses[1]:.6f}", flush=True)
+
 # ---- preemption consensus: SIGTERM lands on host 0 ONLY; both hosts must
 # agree to stop at the same sync boundary (a lone stopping host would hang
 # the other's next collective forever — see train/preemption.py).
@@ -195,7 +230,9 @@ def _run_workers(tmp_path, attempt: int):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen([sys.executable, str(path), str(i)],
+    shared_ckpt = tmp_path / f"zckpt_{attempt}"  # one dir, both processes
+    procs = [subprocess.Popen([sys.executable, str(path), str(i),
+                               str(shared_ckpt)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env, cwd=os.getcwd())
              for i in range(2)]
@@ -219,6 +256,7 @@ def test_two_process_data_parallel_train(tmp_path):
     results = {}
     shapes = {}
     pretrain = {}
+    zero1 = {}
     preempt = {}
     for out in outs:
         for line in out.splitlines():
@@ -231,6 +269,9 @@ def test_two_process_data_parallel_train(tmp_path):
             elif line.startswith("PRETRAIN"):
                 _, pid, l0, l1 = line.split()
                 pretrain[pid] = (float(l0), float(l1))
+            elif line.startswith("ZERO1"):
+                _, pid, l0, l1 = line.split()
+                zero1[pid] = (float(l0), float(l1))
             elif line.startswith("PREEMPT"):
                 _, pid, stop_it, fired = line.split()
                 preempt[pid] = (int(stop_it), int(fired))
@@ -245,6 +286,13 @@ def test_two_process_data_parallel_train(tmp_path):
     # same replicated loss on both hosts.
     assert set(pretrain) == {"0", "1"}, outs
     assert pretrain["0"] == pretrain["1"], pretrain
+    # ZeRO-1 leg: cross-process moment shards, identical losses to the
+    # replicated trainer (same seed/data => same update math), checkpoint
+    # round-trip asserted in-worker.
+    assert set(zero1) == {"0", "1"}, outs
+    assert zero1["0"] == zero1["1"], zero1
+    for a, b in zip(zero1["0"], pretrain["0"]):
+        assert abs(a - b) < 5e-5, (zero1, pretrain)
     # Preemption consensus: only host 0 received SIGTERM (fired 1 vs 0),
     # yet BOTH hosts stopped at the same sync boundary (step 2).
     assert preempt == {"0": (2, 1), "1": (2, 0)}, preempt

@@ -178,11 +178,12 @@ class ViewpointAgent:
 
             state = jax.device_put(state, replicated_sharding(self.mesh))
             if self.zero1:
-                from visitron_tpu.parallel import zero1_opt_rules
+                from visitron_tpu.parallel import (reshard_state,
+                                                   zero1_opt_rules)
 
                 self._opt_rules = zero1_opt_rules(self.mesh, state["opt_state"])
-                state["opt_state"] = jax.device_put(state["opt_state"],
-                                                    self._opt_rules)
+                state["opt_state"] = reshard_state(state["opt_state"],
+                                                   self._opt_rules)
         return state
 
     # -- shared pieces ---------------------------------------------------------

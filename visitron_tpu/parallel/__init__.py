@@ -6,6 +6,7 @@ from visitron_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     replicate_state,
+    reshard_state,
     shard_batch,
     shard_params_rules,
     zero1_opt_rules,
@@ -26,6 +27,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "replicate_state",
+    "reshard_state",
     "shard_batch",
     "shard_params_rules",
     "zero1_opt_rules",

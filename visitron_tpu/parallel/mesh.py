@@ -137,6 +137,19 @@ def zero1_opt_rules(mesh: Mesh, opt_state):
     return jax.tree.map(rule, opt_state)
 
 
+def reshard_state(tree, shardings):
+    """Place a pytree onto ``shardings``, multi-host-safe.
+
+    Single-host: plain ``device_put``.  Under ``jax.distributed``,
+    ``device_put`` cannot build a non-addressable (cross-process) sharding
+    from local data, so a jitted identity reshards inside XLA instead —
+    valid because our callers hand it replicated global arrays or
+    host-identical host data (init/restore paths)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, sharded along dp.
 

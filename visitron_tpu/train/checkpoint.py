@@ -81,10 +81,23 @@ class CheckpointManager:
 
     def restore(self, step: int, template) -> dict:
         """Restore components named by ``template`` keys ("params",
-        "opt_state") into their structures."""
+        "opt_state") into their structures.
+
+        Leaves restore host-side (numpy) and the caller re-places them —
+        except cross-process sharded leaves (ZeRO-1 moments under
+        jax.distributed), which cannot round-trip through numpy: those
+        restore directly to their sharding via an abstract-array target."""
+
+        def target_leaf(x):
+            if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                    and not x.sharding.is_fully_replicated):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return np.asarray(x)
+
         out = {}
         for name, tmpl in template.items():
-            target = jax.tree.map(np.asarray, tmpl)
+            target = jax.tree.map(target_leaf, tmpl)
             out[name] = self._ckpt.restore(
                 os.path.join(self.path(step), name), target)
         return out

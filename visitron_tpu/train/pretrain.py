@@ -77,17 +77,20 @@ class PretrainTrainer:
 
         params, opt_state = init(rng)
         rep = replicated_sharding(self.mesh)
-        opt_sharding = rep
-        if self.zero1:
-            from visitron_tpu.parallel import zero1_opt_rules
-
-            self._opt_rules = zero1_opt_rules(self.mesh, opt_state)
-            opt_sharding = self._opt_rules
         state = {
             "params": jax.device_put(params, rep),
-            "opt_state": jax.device_put(opt_state, opt_sharding),
+            "opt_state": jax.device_put(opt_state, rep),
             "rng": jax.device_put(jax.random.PRNGKey(self.seed + 1), rep),
         }
+        if self.zero1:
+            # Replicate first, then reshard to the dp layout: a direct
+            # device_put of host-local leaves to a cross-process sharding is
+            # invalid under jax.distributed (reshard_state handles both).
+            from visitron_tpu.parallel import reshard_state, zero1_opt_rules
+
+            self._opt_rules = zero1_opt_rules(self.mesh, state["opt_state"])
+            state["opt_state"] = reshard_state(state["opt_state"],
+                                               self._opt_rules)
         return state
 
     # -- the jitted step ------------------------------------------------------
