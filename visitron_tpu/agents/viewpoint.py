@@ -132,7 +132,6 @@ class ViewpointAgent:
         self._encode = {}
         self._student_step = {}
         self._rt_placed = None
-        self._opt_rules = None  # set by init_state when zero1 is on
         self.results: dict = {}
 
     # -- parameter init ------------------------------------------------------
@@ -178,27 +177,22 @@ class ViewpointAgent:
 
             state = jax.device_put(state, replicated_sharding(self.mesh))
             if self.zero1:
-                from visitron_tpu.parallel import (reshard_state,
-                                                   zero1_opt_rules)
+                from visitron_tpu.parallel import zero1_shard_opt_state
 
-                self._opt_rules = zero1_opt_rules(self.mesh, state["opt_state"])
-                state["opt_state"] = reshard_state(state["opt_state"],
-                                                   self._opt_rules)
+                state["opt_state"] = zero1_shard_opt_state(
+                    self.mesh, state["opt_state"])
         return state
 
     # -- shared pieces ---------------------------------------------------------
     def _pin_layouts(self, params, opt_state):
-        """ZeRO-1 layout stability inside the jitted steps: keep the new
-        optimizer state on its dp shards and params replicated (the compiler
-        is otherwise free to re-replicate the moments on the way out)."""
-        if self._opt_rules is None:
+        """ZeRO-1 layout stability inside the jitted steps (rules derived
+        from the traced trees, so the RL critic's extra opt subtree pins
+        correctly alongside the plain nav one)."""
+        if not (self.zero1 and self.mesh is not None):
             return params, opt_state
-        from jax.sharding import NamedSharding, PartitionSpec
+        from visitron_tpu.parallel import zero1_pin_layouts
 
-        opt_state = jax.lax.with_sharding_constraint(opt_state, self._opt_rules)
-        params = jax.lax.with_sharding_constraint(
-            params, NamedSharding(self.mesh, PartitionSpec()))
-        return params, opt_state
+        return zero1_pin_layouts(self.mesh, params, opt_state)
 
     @staticmethod
     def trim_batch(batch: dict, bucket: int = 128) -> dict:

@@ -108,8 +108,8 @@ def config_for_mesh(cfg: BertConfig, mesh) -> BertConfig:
         # ``sp``); shapes that fail the mesh gates take XLA attention under
         # the sp_constrain constraints.
         assert cfg.num_attention_heads % mesh.shape["sp"] == 0, (
-            f"num_attention_heads={cfg.num_attention_heads} must divide "
-            f"sp={mesh.shape['sp']}")
+            f"sp={mesh.shape['sp']} must divide "
+            f"num_attention_heads={cfg.num_attention_heads}")
         keep_kernels = cfg.use_fused_attention or cfg.use_flash_attention
         return cfg.replace(sp_mesh=mesh,
                            attention_mesh=mesh if keep_kernels else None)

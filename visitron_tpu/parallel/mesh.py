@@ -150,6 +150,32 @@ def reshard_state(tree, shardings):
     return jax.jit(lambda t: t, out_shardings=shardings)(tree)
 
 
+def zero1_shard_opt_state(mesh: Mesh, opt_state):
+    """Initial ZeRO-1 placement of a freshly built optimizer state.
+
+    Replicate-then-reshard (callers hand replicated or host-identical data):
+    a direct device_put of host-local leaves onto a cross-process sharding is
+    invalid under jax.distributed; ``reshard_state`` handles both worlds."""
+    return reshard_state(opt_state, zero1_opt_rules(mesh, opt_state))
+
+
+def zero1_pin_layouts(mesh: Mesh, params, opt_state):
+    """Layout stability inside a jitted ZeRO-1 train step.
+
+    Pins the updated optimizer state to its dp shards and the updated params
+    to their parameter rules (replicated for dp-only meshes, tp-split kernels
+    when a tp axis exists) — without these the compiler is free to
+    re-replicate the moments or re-shard the params on the way out of the
+    step.  Rules are derived from the *traced* trees, so any optimizer-state
+    structure (e.g. the RL critic's extra subtree) pins correctly even when
+    one trainer instance serves several state shapes."""
+    opt_state = jax.lax.with_sharding_constraint(
+        opt_state, zero1_opt_rules(mesh, opt_state))
+    params = jax.lax.with_sharding_constraint(
+        params, shard_params_rules(mesh, params))
+    return params, opt_state
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, sharded along dp.
 

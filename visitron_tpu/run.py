@@ -230,20 +230,25 @@ def run_pretrain(cfg: RunConfig):
             restored = ckpt.restore(
                 it, {"params": trainer.checkpoint_params(state),
                      "opt_state": state["opt_state"]})
+            from visitron_tpu.parallel import reshard_state
+
             opt_shardings = jax.tree.map(lambda x: x.sharding,
                                          state["opt_state"])
             state = trainer.state_from_params(restored["params"])
-            state["opt_state"] = jax.device_put(restored["opt_state"],
-                                                opt_shardings)
+            state["opt_state"] = reshard_state(restored["opt_state"],
+                                               opt_shardings)
         else:
+            from visitron_tpu.parallel import reshard_state
+
             restored = ckpt.restore(
                 it, {"params": state["params"], "opt_state": state["opt_state"]})
             # Restore to the template's shardings (replicated normally;
-            # dp-sharded moments under --zero1).
+            # dp-sharded moments under --zero1); reshard_state is the
+            # multi-host-safe placement path.
             shardings = jax.tree.map(
                 lambda x: x.sharding,
                 {"params": state["params"], "opt_state": state["opt_state"]})
-            state = {**state, **jax.device_put(restored, shardings)}
+            state = {**state, **reshard_state(restored, shardings)}
         start_epoch = min(it // steps_per_epoch, cfg.num_epochs)
         skip = it - start_epoch * steps_per_epoch
         logger.info("resumed from checkpoint-%d (epoch %d, skipping %d "

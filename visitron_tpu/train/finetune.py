@@ -129,15 +129,16 @@ class ViewpointTrainer:
             restored = self.ckpt.restore(
                 start_it, {"params": state["params"], "opt_state": state["opt_state"]})
             if self.mesh is not None:
-                # Restore to the template state's shardings: replicated
-                # normally, dp-sharded moments under --zero1.
-                import jax
+                # Restore to the template state's shardings (replicated
+                # normally, dp-sharded moments under --zero1) via the
+                # multi-host-safe placement path.
+                from visitron_tpu.parallel import reshard_state
 
                 shardings = jax.tree.map(
                     lambda x: x.sharding,
                     {"params": state["params"],
                      "opt_state": state["opt_state"]})
-                restored = jax.device_put(restored, shardings)
+                restored = reshard_state(restored, shardings)
             state = {**state, **restored}
             batcher.skip_batches(start_it)
             self.logger.info("resumed from checkpoint-%d", start_it)

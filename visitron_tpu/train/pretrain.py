@@ -57,7 +57,6 @@ class PretrainTrainer:
             bf16_moments=self.bf16_adam_moments)
         self._step_fn = None
         self._eval_fn = None
-        self._opt_rules = None  # set by init_state when zero1 is on
 
     # -- initialization ------------------------------------------------------
     def init_state(self, sample_batch) -> dict:
@@ -83,14 +82,10 @@ class PretrainTrainer:
             "rng": jax.device_put(jax.random.PRNGKey(self.seed + 1), rep),
         }
         if self.zero1:
-            # Replicate first, then reshard to the dp layout: a direct
-            # device_put of host-local leaves to a cross-process sharding is
-            # invalid under jax.distributed (reshard_state handles both).
-            from visitron_tpu.parallel import reshard_state, zero1_opt_rules
+            from visitron_tpu.parallel import zero1_shard_opt_state
 
-            self._opt_rules = zero1_opt_rules(self.mesh, state["opt_state"])
-            state["opt_state"] = reshard_state(state["opt_state"],
-                                               self._opt_rules)
+            state["opt_state"] = zero1_shard_opt_state(
+                self.mesh, state["opt_state"])
         return state
 
     # -- the jitted step ------------------------------------------------------
@@ -128,17 +123,11 @@ class PretrainTrainer:
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
-            if self._opt_rules is not None:
-                # ZeRO-1: pin the new optimizer state to its dp sharding and
-                # the params replicated, so the layouts are stable across
-                # steps (the compiler would otherwise be free to replicate
-                # the moments or shard the params on the way out).
-                from jax.sharding import NamedSharding, PartitionSpec
+            if self.zero1 and self.mesh is not None:
+                from visitron_tpu.parallel import zero1_pin_layouts
 
-                opt_state = jax.lax.with_sharding_constraint(
-                    opt_state, self._opt_rules)
-                params = jax.lax.with_sharding_constraint(
-                    params, NamedSharding(self.mesh, PartitionSpec()))
+                params, opt_state = zero1_pin_layouts(
+                    self.mesh, params, opt_state)
             new_state = {"params": params, "opt_state": opt_state, "rng": rng}
             return new_state, bundle
 
