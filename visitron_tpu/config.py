@@ -117,6 +117,14 @@ class RunConfig:
                                        # layer (models/bert.py sp_constrain);
                                        # pretrain task only, excludes
                                        # mesh_tp/mesh_pp
+    mesh_cp: int = 1                   # >1: ring-attention context-parallel
+                                       # pretraining over a (dp, cp) mesh —
+                                       # activations AND attention token-
+                                       # sharded, K/V rotating around the cp
+                                       # ring via ppermute (ops/attention.py
+                                       # ring_attention); no head-count
+                                       # limit; pretrain task only, excludes
+                                       # mesh_tp/mesh_pp/mesh_sp
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
     use_fused_attention: bool = True   # Pallas small-S single-pass kernel (TPU)
@@ -205,6 +213,12 @@ class RunConfig:
         if self.mesh_sp > 1 and (self.mesh_tp > 1 or self.mesh_pp > 1):
             raise ValueError(
                 "--mesh_sp composes with dp only; drop --mesh_tp/--mesh_pp")
+        if self.mesh_cp < 1:
+            raise ValueError(f"--mesh_cp must be >= 1, got {self.mesh_cp}")
+        if self.mesh_cp > 1 and (self.mesh_tp > 1 or self.mesh_pp > 1
+                                 or self.mesh_sp > 1):
+            raise ValueError("--mesh_cp composes with dp only; drop "
+                             "--mesh_tp/--mesh_pp/--mesh_sp")
         if self.zero1 and self.mesh_pp > 1:
             raise ValueError(
                 "--zero1 applies to the standard pretrain trainer; the "

@@ -28,9 +28,10 @@ from visitron_tpu.ops.attention import (attention_supports_flash,
                                         attention_supports_flash_mesh,
                                         attention_supports_fused,
                                         attention_supports_fused_mesh,
+                                        attention_supports_ring,
                                         flash_attention, flash_attention_mesh,
                                         fused_attention, fused_attention_mesh,
-                                        multi_head_attention)
+                                        multi_head_attention, ring_attention)
 from visitron_tpu.ops.masking import make_attention_bias
 
 
@@ -80,6 +81,12 @@ class BertConfig:
     # SPMD partitioner inserts the two all-to-alls per layer
     # (tokens->heads before the score matmul, heads->tokens after).
     sp_mesh: Any = None
+    # Set by config_for_mesh on a (dp, cp) mesh: ring-attention context
+    # parallelism.  Activations stay token-sharded over cp throughout;
+    # self-attention runs ops.attention.ring_attention (shard_map, K/V
+    # rotating via ppermute) — per-device attention memory O((S/cp)^2) and
+    # no head-count constraint, the long-context axis past Ulysses.
+    cp_mesh: Any = None
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
@@ -113,21 +120,36 @@ def config_for_mesh(cfg: BertConfig, mesh) -> BertConfig:
         keep_kernels = cfg.use_fused_attention or cfg.use_flash_attention
         return cfg.replace(sp_mesh=mesh,
                            attention_mesh=mesh if keep_kernels else None)
+    if "cp" in getattr(mesh, "axis_names", ()) and mesh.shape["cp"] > 1:
+        # Ring-attention context parallelism: attention itself runs the
+        # shard_map ring (no GSPMD partitioning of a Pallas custom call to
+        # worry about), so the single-device Pallas kernels must be disabled
+        # outright — under a cp mesh their gates would otherwise fire and
+        # plant an unpartitionable Mosaic call in the partitioned program.
+        return cfg.replace(cp_mesh=mesh, attention_mesh=None,
+                           use_fused_attention=False,
+                           use_flash_attention=False)
     if not (cfg.use_fused_attention or cfg.use_flash_attention):
         return cfg
     return cfg.replace(attention_mesh=mesh)
 
 
 def sp_constrain(x, cfg: BertConfig, spec):
-    """Apply a sequence-parallel sharding constraint (no-op off-sp).
+    """Apply a sequence-parallel sharding constraint (no-op off-sp/cp).
 
     ``spec`` is a ``PartitionSpec`` over the (dp, sp) mesh axes; used by the
-    model code at the token/head resharding boundaries."""
-    if cfg.sp_mesh is None:
-        return x
+    model code at the token/head resharding boundaries.  On a (dp, cp)
+    ring-attention mesh the same call sites apply with the token axis
+    renamed sp->cp (tokens stay cp-sharded between layers)."""
+    mesh = cfg.sp_mesh
+    if mesh is None:
+        if cfg.cp_mesh is None:
+            return x
+        mesh = cfg.cp_mesh
+        spec = PartitionSpec(*("cp" if a == "sp" else a for a in spec))
     from jax.sharding import NamedSharding
 
-    return jax.lax.with_sharding_constraint(x, NamedSharding(cfg.sp_mesh, spec))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def _dense(features, cfg: BertConfig, name=None, use_bias=True):
@@ -197,6 +219,9 @@ class BertSelfAttention(nn.Module):
         k_len = kv_in.shape[1]
         key_bias_ok = (bias is not None and bias.ndim == 4
                        and bias.shape[1] == 1 and bias.shape[2] == 1)
+        use_ring = (cfg.cp_mesh is not None and key_bias_ok
+                    and history_state is None
+                    and attention_supports_ring(cfg.cp_mesh, q_len, k_len, b))
         fused_ok = (cfg.use_fused_attention and key_bias_ok
                     and history_state is None)
         use_fused_mesh = (
@@ -226,7 +251,19 @@ class BertSelfAttention(nn.Module):
             and cfg.attention_mesh is None
             and attention_supports_flash(q_len, k_len, d)
         )
-        if use_fused or use_fused_mesh:
+        if use_ring:
+            # Ring-attention context parallelism: K/V blocks rotate around
+            # the cp axis; dropout is a global-coordinate position hash, so
+            # one scalar seed serves every shard with no stream reuse.
+            rate = 0.0 if deterministic else float(cfg.attention_probs_dropout_prob)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
+            ctx = ring_attention(split(q), split(k), split(v),
+                                 bias[:, 0, 0, :], seed, rate,
+                                 mesh=cfg.cp_mesh)
+        elif use_fused or use_fused_mesh:
             rate = 0.0 if deterministic else float(cfg.attention_probs_dropout_prob)
             seed = None
             if rate > 0.0:

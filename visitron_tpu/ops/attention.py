@@ -759,3 +759,152 @@ def fused_attention_mesh(q, k, v, key_bias, dropout_seed=None,
     # annotation, and every output IS dp/head-axis-varying by construction.
     return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                      out_specs=P("dp", head_axis), check_vma=False)(*args)
+
+
+# ---------------------------------------------------------------------------
+# Ring attention (context parallelism): blockwise online-softmax attention
+# over a (dp, cp) mesh, K/V blocks rotating around the cp ring via ppermute.
+#
+# Ulysses sequence parallelism (sp, above) re-shards tokens->heads at the
+# attention boundary, so sp must divide num_heads and every device still
+# materializes full-S score rows.  Ring attention instead keeps Q sharded
+# over the sequence and streams the K/V shards around the ring: per-device
+# attention memory is O((S/cp)^2) and there is NO head-count constraint —
+# the long-context axis past where Ulysses stops (12 heads caps sp at 12;
+# cp scales with the sequence itself).  The reference has neither
+# (SURVEY §2.3: CP/ring absent; this is designed-in headroom).
+#
+# Dropout uses the same murmur3 position-hash as the Pallas kernels,
+# extended over absolute (batch, head, q, k) coordinates — the mask depends
+# only on GLOBAL coordinates, so the ring output is bit-identical to the
+# single-device oracle (hash_dropout_attention) no matter the mesh layout,
+# and forward/backward agree structurally (the vjp re-traces the same hash).
+# ---------------------------------------------------------------------------
+
+
+def _keep_mask4(seed_u32, b0, row0, col0, shape, threshold: int):
+    """Per-position keep mask over a (B, H, Q, K) block: murmur3-finalizer
+    hash of the ABSOLUTE (batch, head, q, k) coordinates."""
+    bi = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+          + jnp.asarray(b0).astype(jnp.uint32))
+    hi = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    r = (jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+         + jnp.asarray(row0).astype(jnp.uint32))
+    c = (jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
+         + jnp.asarray(col0).astype(jnp.uint32))
+    s = seed_u32 ^ (bi * jnp.uint32(0xC2B2AE3D)) ^ (hi * jnp.uint32(0x27D4EB2F))
+    x = r * jnp.uint32(0x9E3779B1) ^ c * jnp.uint32(0x85EBCA77) ^ s
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x >= jnp.uint32(threshold)
+
+
+def hash_dropout_attention(q, k, v, key_bias, dropout_seed,
+                           dropout_rate: float):
+    """Single-device oracle for :func:`ring_attention` under dropout.
+
+    Plain attention with the position-hash keep mask over global
+    coordinates — exactly what the ring computes blockwise.  (Test/parity
+    helper; production single-device paths use the Pallas kernels or XLA
+    bernoulli dropout, which share the distribution but not the stream.)"""
+    depth = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / jnp.sqrt(jnp.asarray(depth, s.dtype))
+    s = s + key_bias[:, None, None, :].astype(s.dtype)
+    probs = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        seed = jnp.asarray(dropout_seed, jnp.int32).astype(jnp.uint32)
+        keep = _keep_mask4(seed, 0, 0, 0, probs.shape,
+                           _threshold(dropout_rate))
+        probs = jnp.where(keep, probs, 0.0) / (1.0 - dropout_rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def attention_supports_ring(mesh, q_len: int, k_len: int, batch: int) -> bool:
+    """Gate for :func:`ring_attention`: a (dp, cp) mesh with cp > 1,
+    self-attention shapes (q_len == k_len), sequence divisible by cp and
+    batch divisible by dp.  Heads are unconstrained (ring's advantage)."""
+    if mesh is None:
+        return False
+    names = set(getattr(mesh, "axis_names", ()))
+    if names != {"dp", "cp"}:
+        return False
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    cp = axes.get("cp", 1)
+    return (cp > 1 and q_len == k_len and q_len % cp == 0
+            and batch % axes.get("dp", 1) == 0)
+
+
+def ring_attention(q, k, v, key_bias, dropout_seed=None,
+                   dropout_rate: float = 0.0, *, mesh):
+    """Blockwise ring attention over a (dp, cp) mesh via shard_map.
+
+    q/k/v: global (B, H, S, D); key_bias: global (B, S) additive key bias
+    (0 keep / -1e9 drop, the ``bias[:, 0, 0, :]`` form).  Sequence sharded
+    over cp, batch over dp.  Each device runs cp online-softmax steps over
+    its local Q block while the K/V/bias blocks rotate around the ring
+    (``lax.ppermute``); the next block's permute is issued before the
+    current block's matmuls so XLA's latency-hiding scheduler can overlap
+    the ICI transfer with compute.  Everything is plain jnp + ppermute, so
+    the whole thing is reverse-differentiable (the vjp runs the mirrored
+    ring).  Gate with :func:`attention_supports_ring`."""
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("ring_attention: dropout_rate > 0 requires a "
+                         "dropout_seed (refusing a silent constant seed)")
+    from jax.sharding import PartitionSpec as P
+
+    has_seed = dropout_seed is not None and dropout_rate > 0.0
+    out_dtype = q.dtype
+    sm_scale = 1.0 / float(q.shape[-1]) ** 0.5
+    thr = _threshold(dropout_rate) if has_seed else 0
+    inv_keep = 1.0 / (1.0 - dropout_rate) if has_seed else 1.0
+
+    def body(q, k, v, key_bias, *seed_args):
+        cp = jax.lax.axis_size("cp")
+        my = jax.lax.axis_index("cp")
+        b_loc, _, s_loc, _ = q.shape
+        b0 = jax.lax.axis_index("dp") * b_loc
+        row0 = my * s_loc
+        perm = [((r + 1) % cp, r) for r in range(cp)]
+        rotate = lambda x: jax.lax.ppermute(x, "cp", perm)
+        qf = q.astype(jnp.float32) * sm_scale
+        m = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
+        l = jnp.zeros(q.shape[:3], jnp.float32)
+        acc = jnp.zeros(q.shape[:3] + (v.shape[-1],), jnp.float32)
+        kb, vb, bb = k, v, key_bias
+        for i in range(cp):
+            if i + 1 < cp:
+                nkb, nvb, nbb = rotate(kb), rotate(vb), rotate(bb)
+            # Global block index of the K/V shard currently held.
+            blk = (my + i) % cp
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kb.astype(jnp.float32))
+            s = s + bb[:, None, None, :].astype(jnp.float32)
+            m_cur = jnp.maximum(m, jnp.max(s, axis=-1))
+            alpha = jnp.exp(m - m_cur)
+            p = jnp.exp(s - m_cur[..., None])
+            l = l * alpha + jnp.sum(p, axis=-1)
+            if has_seed:
+                seed = jnp.asarray(seed_args[0], jnp.int32).astype(jnp.uint32)
+                keep = _keep_mask4(seed, b0, row0, blk * s_loc, p.shape, thr)
+                p = jnp.where(keep, p, 0.0) * inv_keep
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32).astype(jnp.float32)
+            m = m_cur
+            if i + 1 < cp:
+                kb, vb, bb = nkb, nvb, nbb
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        return (acc * l_inv[..., None]).astype(out_dtype)
+
+    in_specs = [P("dp", None, "cp", None)] * 3 + [P("dp", "cp")]
+    args = [q, k, v, key_bias]
+    if has_seed:
+        in_specs.append(P())
+        args.append(jnp.asarray(dropout_seed, jnp.int32))
+    return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                         out_specs=P("dp", None, "cp", None),
+                         check_vma=False)(*args)

@@ -67,6 +67,23 @@ def make_sp_mesh(dp: int, sp: int, devices=None) -> Mesh:
     return Mesh(grid, ("dp", "sp"))
 
 
+def make_cp_mesh(dp: int, cp: int, devices=None) -> Mesh:
+    """A (dp, cp) mesh: data-parallel rows of ring-attention groups.
+
+    ``cp`` shards the token dimension of every activation AND of attention
+    itself: self-attention runs ops.attention.ring_attention — each device
+    keeps its Q shard and streams the K/V shards around the cp ring via
+    ppermute, so per-device attention memory is O((S/cp)^2) with no
+    head-count constraint (Ulysses sp caps at num_heads; cp scales with the
+    sequence).  Parameters stay replicated.  The reference has no context
+    parallelism (SURVEY §2.3); this is the designed-in long-context axis."""
+    devices = devices if devices is not None else jax.devices()
+    assert dp * cp <= len(devices), f"mesh {dp}x{cp} exceeds {len(devices)} devices"
+    grid = mesh_utils.create_device_mesh(
+        (dp, cp), devices=np.asarray(devices[: dp * cp]))
+    return Mesh(grid, ("dp", "cp"))
+
+
 def maybe_mesh(dp: int = 0, tp: int = 1) -> Mesh | None:
     """Mesh from run-config flags: None on a lone device with no explicit
     request (skips sharding plumbing); otherwise a (dp, tp) mesh over all

@@ -184,6 +184,15 @@ def run_pretrain(cfg: RunConfig):
 
         dp = cfg.mesh_dp or jax.device_count() // cfg.mesh_sp
         mesh = make_sp_mesh(dp=dp, sp=cfg.mesh_sp)
+    elif cfg.mesh_cp > 1:
+        # Ring-attention context parallelism (parallel/mesh.py:make_cp_mesh):
+        # tokens stay cp-sharded through attention itself (K/V ppermute ring,
+        # ops/attention.py:ring_attention); the standard PretrainTrainer runs
+        # unchanged (config_for_mesh attaches cp_mesh inside the model).
+        from visitron_tpu.parallel import make_cp_mesh
+
+        dp = cfg.mesh_dp or jax.device_count() // cfg.mesh_cp
+        mesh = make_cp_mesh(dp=dp, cp=cfg.mesh_cp)
     else:
         mesh = make_mesh(dp=cfg.mesh_dp or None, tp=cfg.mesh_tp)
     bcfg = ws.bert_config.replace(detector_classes=len(detector_classes))
