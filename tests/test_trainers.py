@@ -196,6 +196,35 @@ def test_run_pretrain_sequence_parallel_debug(tmp_path, monkeypatch):
     check_shardings(state2)
 
 
+@pytest.mark.slow
+def test_run_pretrain_fsdp_debug(tmp_path, monkeypatch):
+    """--fsdp: ZeRO-3 pretraining through the CLI — params AND moments
+    dp-sharded across the whole run, and --resume restores both back onto
+    their dp shards (run.py restores to the template state's shardings)."""
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1, fsdp=True)
+    state = runner.run_pretrain(cfg)
+    assert os.path.exists(os.path.join(cfg.output_dir, "train.csv"))
+    from visitron_tpu.train.checkpoint import CheckpointManager
+    first = CheckpointManager(cfg.output_dir).latest()
+    assert first is not None
+    import jax
+
+    def check_shardings(st):
+        for tree in (st["params"], st["opt_state"]):
+            big = max(jax.tree.leaves(tree), key=lambda x: x.size)
+            assert big.addressable_shards[0].data.size == big.size // 8
+
+    check_shardings(state)
+    cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2,
+                fsdp=True, resume=True)
+    state2 = runner.run_pretrain(cfg2)
+    assert CheckpointManager(cfg.output_dir).latest() > first
+    check_shardings(state2)
+
+
 def test_cli_overrides_include_explicit_defaults():
     """A flag explicitly set to its default value still overrides a config
     file; unpassed flags do not."""

@@ -145,6 +145,12 @@ class RunConfig:
     # all-gather (parallel/mesh.py:zero1_opt_rules).  Composes with
     # --mesh_sp; needs a multi-device mesh (no-op on one chip).
     zero1: bool = False
+    # FSDP / ZeRO-3 (pretrain): additionally shard the PARAMETERS over dp
+    # (parallel/mesh.py:fsdp_param_rules) — per-chip param+grad+moment
+    # memory ~1/dp, per-layer all-gathers + gradient reduce-scatter derived
+    # by the SPMD partitioner.  Implies the ZeRO-1 moment sharding and
+    # composes with --mesh_tp; needs a multi-device mesh.
+    fsdp: bool = False
     # Conv compute dtype for the offline feature extractors.  "default" =
     # per-pipeline: extract_scene runs bfloat16 (1.64x faster on v5e at ~2%
     # mean drift of the globally pooled features), extract_regions runs
@@ -223,6 +229,10 @@ class RunConfig:
             raise ValueError(
                 "--zero1 applies to the standard pretrain trainer; the "
                 "pipeline trainer stage-shards its own optimizer state")
+        if self.fsdp and self.mesh_pp > 1:
+            raise ValueError(
+                "--fsdp applies to the standard pretrain trainer; the "
+                "pipeline trainer stage-shards its own parameters")
 
     @property
     def episode_len(self) -> int:

@@ -206,6 +206,7 @@ def run_pretrain(cfg: RunConfig):
     batch_size = cfg.train_batch_size(mesh.devices.size)
     if not pipeline:
         common["zero1"] = cfg.zero1
+        common["fsdp"] = cfg.fsdp
     if pipeline:
         per_shard = batch_size // mesh.shape["dp"]
         microbatches = cfg.pipeline_microbatches or max(

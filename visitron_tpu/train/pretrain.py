@@ -40,6 +40,12 @@ class PretrainTrainer:
     # chip and the SPMD partitioner derives the grad slice / param-delta
     # all-gather.  Composes with sp; the pipeline trainer shards its own.
     zero1: bool = False
+    # FSDP / ZeRO-3: additionally shard the PARAMETERS over dp
+    # (parallel/mesh.py:fsdp_param_rules) — per-chip param+grad+moment
+    # memory ~1/dp; the SPMD partitioner derives the per-layer parameter
+    # all-gathers and gradient reduce-scatter from the placement.  Implies
+    # the ZeRO-1 moment sharding; composes with tp.
+    fsdp: bool = False
     mesh: Any = None
     seed: int = 42
     model: PretrainModel = field(init=False)
@@ -81,7 +87,11 @@ class PretrainTrainer:
             "opt_state": jax.device_put(opt_state, rep),
             "rng": jax.device_put(jax.random.PRNGKey(self.seed + 1), rep),
         }
-        if self.zero1:
+        if self.fsdp:
+            from visitron_tpu.parallel import fsdp_shard_params
+
+            state["params"] = fsdp_shard_params(self.mesh, state["params"])
+        if self.zero1 or self.fsdp:
             from visitron_tpu.parallel import zero1_shard_opt_state
 
             state["opt_state"] = zero1_shard_opt_state(
@@ -123,7 +133,12 @@ class PretrainTrainer:
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
-            if self.zero1 and self.mesh is not None:
+            if self.fsdp and self.mesh is not None:
+                from visitron_tpu.parallel import fsdp_pin_layouts
+
+                params, opt_state = fsdp_pin_layouts(
+                    self.mesh, params, opt_state)
+            elif self.zero1 and self.mesh is not None:
                 from visitron_tpu.parallel import zero1_pin_layouts
 
                 params, opt_state = zero1_pin_layouts(
