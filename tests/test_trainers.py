@@ -197,6 +197,31 @@ def test_run_pretrain_sequence_parallel_debug(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_run_pretrain_context_parallel_debug(tmp_path, monkeypatch):
+    """--mesh_cp 2: ring-attention context-parallel pretraining through the
+    CLI.  Params stay replicated in the STANDARD layout, so checkpoints and
+    --resume work identically to the plain trainer."""
+    from visitron_tpu import run as runner
+
+    _tiny_bert(monkeypatch)
+    cfg = _cfg(tmp_path, masked_token_prediction=True, num_epochs=1,
+               mesh_cp=2)
+    state = runner.run_pretrain(cfg)
+    assert os.path.exists(os.path.join(cfg.output_dir, "train.csv"))
+    from visitron_tpu.train.checkpoint import CheckpointManager
+    first = CheckpointManager(cfg.output_dir).latest()
+    assert first is not None
+    import jax
+
+    assert jax.tree.leaves(state["params"])[0].sharding.is_fully_replicated
+    cfg2 = _cfg(tmp_path, masked_token_prediction=True, num_epochs=2,
+                mesh_cp=2, resume=True)
+    state2 = runner.run_pretrain(cfg2)
+    assert CheckpointManager(cfg.output_dir).latest() > first
+    assert jax.tree.leaves(state2["params"])[0].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
 def test_run_pretrain_fsdp_debug(tmp_path, monkeypatch):
     """--fsdp: ZeRO-3 pretraining through the CLI — params AND moments
     dp-sharded across the whole run, and --resume restores both back onto
