@@ -110,6 +110,20 @@ def test_fsdp_eval_and_checkpoint_roundtrip(tmp_path):
         max(jax.tree.leaves(placed), key=lambda x: x.size)) == 1 / 8
 
 
+def test_fsdp_composes_with_sequence_parallelism():
+    """dp=2 x sp=4: activations token-sharded, params/moments dp-sharded."""
+    from visitron_tpu.parallel import make_sp_mesh
+
+    batch = _batch()
+    trainer = PretrainTrainer(_small_cfg(), mesh=make_sp_mesh(dp=2, sp=4),
+                              total_steps=10, fsdp=True)
+    state = trainer.init_state(batch)
+    state, bundle = trainer.step_fn()(state, batch)
+    assert np.isfinite(float(bundle["loss"]))
+    big = max(jax.tree.leaves(state["params"]), key=lambda x: x.size)
+    assert _sharded_fraction(big) == 1 / 2  # dp=2 only; sp untouched
+
+
 def test_fsdp_composes_with_tensor_parallelism():
     batch = _batch()
     trainer = PretrainTrainer(_small_cfg(), mesh=make_mesh(dp=4, tp=2),
