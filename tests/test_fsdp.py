@@ -143,3 +143,14 @@ def test_fsdp_cli_validation():
     with pytest.raises(ValueError):
         RunConfig(fsdp=True, mesh_pp=2)
     assert RunConfig(fsdp=True, mesh_tp=2).fsdp
+
+
+def test_zero_flags_rejected_on_unsupported_tasks():
+    """--fsdp/--zero1 on a task that does not consume them must error, not
+    silently no-op (run.py main dispatch guard)."""
+    from visitron_tpu import run as runner
+
+    with pytest.raises(SystemExit):
+        runner.main(["viewpoint", "--fsdp", "--debug"])
+    with pytest.raises(SystemExit):
+        runner.main(["turn_based", "--zero1", "--debug"])

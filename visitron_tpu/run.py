@@ -592,6 +592,14 @@ def main(argv=None):
     # Counter-based RBG dropout/sampling keys: ~24% faster nav training on
     # TPU than threefry at BERT-base dropout volumes (VALIDATION.md).
     jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+    # ZeRO flags are consumed per-task; reject rather than silently ignore.
+    if cfg.fsdp and task != "pretrain":
+        raise SystemExit(
+            "--fsdp applies to the pretrain task; use --zero1 for the "
+            "fine-tune loops")
+    if cfg.zero1 and task not in ("pretrain", "viewpoint"):
+        raise SystemExit(
+            "--zero1 applies to the pretrain and viewpoint tasks")
     if task == "viewpoint":
         run_viewpoint(cfg)
     elif task == "turn_based":
