@@ -52,7 +52,34 @@ import os
 
 import numpy as np
 
-BASELINE_ACTIONS_PER_SEC_PER_CHIP = 140.0  # derived upper bound, see docstring
+def derived_reference_baseline() -> float:
+    """The reference's speed-of-light actions/s/GPU, from named inputs.
+
+    Reproduces the docstring derivation so ``vs_baseline`` is auditable
+    (tests/test_tools.py pins the published 140 to this arithmetic):
+    fp32 V100, per-GPU batch 8, BERT-base dialog encode + 10 synced decoder
+    steps with per-step H2D feature copies (agent.py:379-441).
+    """
+    ENCODER_MATMUL_PARAMS = 85e6        # BERT-base matmul params
+    TOKENS_PER_ITER = 8 * 512           # batch 8 x 512-token dialogs
+    FLOPS_PER_PARAM_TOKEN = 6.0         # fwd + bwd
+    V100_FP32_PEAK = 15.7e12
+    encode_s = (FLOPS_PER_PARAM_TOKEN * ENCODER_MATMUL_PARAMS
+                * TOKENS_PER_ITER / V100_FP32_PEAK)        # ~0.133 s at 100% MFU
+    DECODER_STEPS = 10
+    H2D_BYTES_PER_STEP = 9.5e6          # (8,36,2052) + (8,K,2052) f32 feats
+    PAGEABLE_H2D_BW = 1.2e9             # pageable-memory PCIe3 effective
+    DISPATCH_FLOOR_S = 2e-3             # kernel-launch + action sync floor
+    steps_s = DECODER_STEPS * (H2D_BYTES_PER_STEP / PAGEABLE_H2D_BW
+                               + DISPATCH_FLOOR_S)          # ~0.10 s
+    actions = 8 * DECODER_STEPS
+    speed_of_light = actions / (encode_s + steps_s)         # ~343 actions/s
+    GENEROUS_EFFICIENCY = 0.4           # end-to-end, favoring the reference
+    return speed_of_light * GENEROUS_EFFICIENCY            # ~137 -> 140
+
+
+# round-to-ten of derived_reference_baseline(); pinned by test_tools.py.
+BASELINE_ACTIONS_PER_SEC_PER_CHIP = 140.0
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 # Default protocol: episode_len 10 (planner_path parity, train.py:551-554).
 # BENCH_EPISODE_LEN=40 + BENCH_PATH_TYPE=trusted_path measures the
@@ -256,7 +283,64 @@ def main() -> None:
     elif mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["step_tflops"] = round(step_flops / 1e12, 3)
+    if os.environ.get("BENCH_SECONDARY", "1") == "1":
+        out["secondary"] = _secondary_north_stars()
     print(json.dumps(out))
+
+
+def _secondary_north_stars() -> dict:
+    """The non-headline BASELINE.md north stars, measured in-process so the
+    driver's BENCH_r*.json records them officially (they previously lived
+    only in VALIDATION.md prose): pretraining examples/s, scene/region
+    feature-extraction frames/s (device and end-to-end fused-render), and
+    serving episodes/s.  Each probe is independent — one failure (e.g. an
+    HBM-tight relay window) reports an error string without costing the
+    headline or the other probes.  BENCH_SECONDARY=0 skips the block."""
+    import sys
+    import traceback
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    sec: dict = {}
+
+    def probe(name, fn, keys):
+        try:
+            r = fn()
+            sec[name] = {k: r[k] for k in keys if k in r}
+        except Exception as e:
+            traceback.print_exc(limit=3, file=sys.stderr)
+            sec[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
+
+    import bench_pretrain
+
+    probe("pretrain", lambda: bench_pretrain.run(16),
+          ("value", "unit", "mfu", "ms_per_step", "batch"))
+
+    import bench_features
+
+    scene_params = None
+    try:
+        scene_params = bench_features._scene_params()
+    except Exception as e:
+        sec["scene_device"] = sec["scene_fused"] = {
+            "error": f"{type(e).__name__}: {e}"[:160]}
+    if scene_params is not None:
+        probe("scene_device",
+              lambda: bench_features.measure_scene_device("bf16", scene_params),
+              ("value", "unit", "view_ms", "matterport_sweep_hours"))
+        probe("scene_fused",
+              lambda: bench_features.measure_scene_fused(scene_params),
+              ("value", "unit", "view_ms", "matterport_sweep_hours"))
+    probe("regions", lambda: bench_features.measure_regions("batch6"),
+          ("value", "unit", "frame_ms", "matterport_sweep_hours"))
+
+    import bench_eval
+
+    for t in (10, 40):
+        probe(f"serving_t{t}", lambda t=t: bench_eval.measure(t, repeats=1),
+              ("episodes_per_sec_per_chip", "actions_per_sec_per_chip",
+               "batch", "ms_per_batch"))
+    return sec
 
 
 if __name__ == "__main__":

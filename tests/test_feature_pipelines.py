@@ -255,8 +255,12 @@ def test_region_extractor_end_to_end(world, tmp_path):
 
 def test_region_store_lmdb_roundtrip(tmp_path):
     """pickle <-> LMDB store round-trip (reference LMDB pretraining layout,
-    utils_data.py:415-438)."""
-    pytest.importorskip("lmdb")
+    utils_data.py:415-438).  Runs under the real lmdb when installed and the
+    dict-backed fake_lmdb shim otherwise, so the branch executes in every
+    suite invocation."""
+    import fake_lmdb
+
+    fake_lmdb.install()
     from visitron_tpu.data.features import RegionFeatureStore
 
     rng = np.random.default_rng(0)

@@ -139,10 +139,9 @@ def test_sampled_rollout_reaches_goals_after_training(setup):
     assert hits / total > 0.4, f"{hits}/{total}"
 
 
-def test_rl_training_step_and_learning(setup):
+def test_rl_training_step(setup):
     """A2C fine-tuning (framework extension; reference ships its Critic
-    unwired): losses finite, critic present, mean return improves on a tiny
-    world."""
+    unwired): losses finite, critic params present, dist_col wired."""
     agent, batcher, _, _ = setup
     state = agent.init_state(with_critic=True)
     assert "critic" in state["params"]
@@ -151,9 +150,29 @@ def test_rl_training_step_and_learning(setup):
     jbs = [{k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
            for b in batches]
     assert "dist_col" in jbs[0]
-    returns = []
-    for i in range(60):
+    for i in range(6):
         state, (loss, aux) = step(state, jbs[i % 2])
         assert np.isfinite(float(loss)), i
+        assert np.isfinite(float(aux["mean_return"]))
+
+
+@pytest.mark.slow
+def test_rl_learning_trend(setup):
+    """Mean return improves under A2C on a tiny world.  Sampled rollouts make
+    short horizons noisy (a 60-step window flipped sign under a 1e-7 reward
+    perturbation), so this compares wide windows over 160 steps."""
+    agent, batcher, _, _ = setup
+    state = agent.init_state(with_critic=True)
+    step = agent.rl_train_step_fn(ml_weight=0.2)
+    # Own batcher: a fixed batch set independent of the module fixture's
+    # stream position (suite order must not move the learning trajectory).
+    own = NavEpisodeBatcher(batcher.instances, batcher.runtime, batch_size=4,
+                            path_type="trusted_path")
+    batches = [own.with_sample_teacher(b) for b in own.train_batches(2)]
+    jbs = [{k: np.asarray(v) for k, v in b.items() if not isinstance(v, list)}
+           for b in batches]
+    returns = []
+    for i in range(160):
+        state, (_, aux) = step(state, jbs[i % 2])
         returns.append(float(aux["mean_return"]))
-    assert np.mean(returns[-10:]) > np.mean(returns[:10])
+    assert np.mean(returns[-40:]) > np.mean(returns[:20])

@@ -33,3 +33,33 @@ def test_bench_tasks_small_mode():
     for l in lines:
         rec = json.loads(l)
         assert rec["value"] > 0 and rec["step_ms"] > 0
+
+
+def test_bench_baseline_derivation_pins_published_number():
+    """The 140 actions/s/GPU reference baseline reproduces from its named
+    inputs (bench.py:derived_reference_baseline) — vs_baseline is auditable
+    arithmetic, not a docstring constant."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    derived = bench.derived_reference_baseline()
+    assert 120.0 < derived <= 140.0, derived
+    assert bench.BASELINE_ACTIONS_PER_SEC_PER_CHIP == round(derived, -1)
+
+
+def test_bench_eval_tiny_smoke():
+    """tools/bench_eval.py --tiny mechanics on the CPU backend (the importable
+    measure() used by bench.py's secondary block)."""
+    env = dict(os.environ)
+    env["BENCH_TINY"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_eval.py")],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "ndh_eval_rollout_throughput"
+    assert rec["episodes_per_sec_per_chip"] > 0

@@ -92,6 +92,37 @@ def test_run_pretrain_debug(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_run_pretrain_per_dataset_validation(tmp_path, monkeypatch):
+    """With two source datasets enabled, each epoch's validation logs separate
+    ``{ds}_val_seen/``+``{ds}_val_unseen/`` metric groups (reference
+    pretrain.py:301-579 scores ndh/r2r/r4r val datasets individually)."""
+    import csv
+
+    from visitron_tpu import run as runner
+    from visitron_tpu.models import BertConfig
+    import visitron_tpu.train.workspace as wsmod
+
+    def tiny(cfg_, tokenizer):
+        return BertConfig(vocab_size=len(tokenizer), hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=64, max_position_embeddings=64,
+                          type_vocab_size=4, img_feature_dim=cfg_.img_feature_dim,
+                          detector_classes=cfg_.detector_classes)
+
+    monkeypatch.setattr(wsmod.Workspace, "_bert_config", staticmethod(tiny))
+    # dp=2 keeps the global batch (2) under the 4-item synthetic val splits so
+    # the sweeps actually run.
+    cfg = _cfg(tmp_path, add_r2r_data=True, mesh_dp=2)
+    state = runner.run_pretrain(cfg)
+    assert state is not None
+    with open(os.path.join(cfg.output_dir, "train.csv")) as f:
+        columns = next(csv.reader(f))
+    for group in ("ndh_val_seen", "ndh_val_unseen", "r2r_val_seen",
+                  "r2r_val_unseen"):
+        assert any(c.startswith(f"{group}/") for c in columns), (group, columns)
+
+
+@pytest.mark.slow
 def test_run_turn_based_and_classifier_debug(tmp_path, monkeypatch):
     from visitron_tpu import run as runner
     from visitron_tpu.models import BertConfig

@@ -12,6 +12,9 @@ on this environment's remote-relay TPU measures RPC enqueue, not compute
 (see bench.py docstring).  Within-window numbers; the relay carries ~±25%
 cross-window variance.
 
+``measure(episode_len)`` is importable (bench.py's ``secondary`` block
+records the serving north star officially in BENCH_r*.json).
+
 Usage: python tools/bench_eval.py   (TPU; a few compiles through the relay)
 Env: BENCH_BATCH (default 64), BENCH_TINY=1 for a CPU mechanics smoke.
 """
@@ -35,7 +38,7 @@ EPISODE_LENS = (2,) if TINY else (10, 40)
 N_LO, N_HI = (1, 3) if TINY else (3, 13)
 
 
-def main() -> None:
+def measure(episode_len: int, batch: int = BATCH, repeats: int = 3) -> dict:
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -51,8 +54,6 @@ def main() -> None:
     from visitron_tpu.testing.synthetic import _TARGETS, _WORDS
     from visitron_tpu.utils.benchmark import PEAK_BF16_FLOPS, time_fn
 
-    if TINY:
-        jax.config.update("jax_platforms", "cpu")
     world = SyntheticWorld(
         seed=3, num_scans=1 if TINY else 4,
         viewpoints_per_scan=12 if TINY else 60, scene_feat_dim=FEAT_DIM,
@@ -63,7 +64,8 @@ def main() -> None:
         [" ".join(_WORDS), " ".join(_TARGETS)], vocab_size=4096))
     with tempfile.TemporaryDirectory() as d:
         root = world.write_task_data(d, counts={"val_unseen": 128})
-        instances = build_nav_instances(root, ["val_unseen"], tok, max_seq_length=SEQ)
+        instances = build_nav_instances(root, ["val_unseen"], tok,
+                                        max_seq_length=SEQ)
 
     cfg = BertConfig(vocab_size=len(tok), max_position_embeddings=SEQ,
                      type_vocab_size=4, dtype=jnp.bfloat16,
@@ -72,54 +74,62 @@ def main() -> None:
                         if TINY else {}))
     peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
 
+    agent = ViewpointAgent(cfg, runtime, feature_dim=FEAT_DIM,
+                           episode_len=episode_len, max_seq_length=SEQ)
+    params = agent.init_state()["params"]
+    batcher = NavEpisodeBatcher(instances, runtime, batch_size=batch)
+    b = agent.trim_batch(next(iter(batcher.eval_batches())))
+    rollout = agent._device_rollout_fn("argmax")
+    rng = jax.random.PRNGKey(0)
+    args = (runtime, params, jnp.asarray(b["ids"]),
+            jnp.asarray(b["segs"]), jnp.asarray(b["lengths"]),
+            jnp.asarray(b["start_rows"]),
+            jnp.asarray(b["start_views"]), rng)
+
+    # Fold the (integer) trajectory outputs into a float scalar so the
+    # timing loop carries a real data dependence on the rollout — without
+    # it XLA could hoist or dead-code the body (time_fn's perturbation
+    # only rides floating-point outputs).
+    def timed(rt, p, ids, segs, lengths, rows0, views0, r):
+        rows, views, moved = rollout(rt, p, ids, segs, lengths,
+                                     rows0, views0, r)
+        return (rows.astype(jnp.float32).sum()
+                + moved.astype(jnp.float32).sum())
+
+    ms = time_fn(timed, *args, n_lo=N_LO, n_hi=N_HI,
+                 repeats=1 if TINY else repeats)
+    out = {
+        "metric": "ndh_eval_rollout_throughput",
+        "episodes_per_sec_per_chip": round(
+            batch / (ms / 1000.0) / max(jax.local_device_count(), 1), 2),
+        "actions_per_sec_per_chip": round(
+            batch * episode_len / (ms / 1000.0)
+            / max(jax.local_device_count(), 1), 2),
+        "batch": batch, "episode_len": episode_len,
+        "seq_bucket": int(b["ids"].shape[1]),
+        "ms_per_batch": round(ms, 2),
+        "device": jax.devices()[0].device_kind,
+    }
+    try:
+        cost = rollout.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops and peak:
+            out["mfu_cost_model"] = round(flops / (ms / 1000.0) / peak, 4)
+            out["batch_tflops"] = round(flops / 1e12, 3)
+    except Exception:
+        pass
+    return out
+
+
+def main() -> None:
+    import jax
+
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
     for episode_len in EPISODE_LENS:
-        agent = ViewpointAgent(cfg, runtime, feature_dim=FEAT_DIM,
-                               episode_len=episode_len, max_seq_length=SEQ)
-        params = agent.init_state()["params"]
-        batcher = NavEpisodeBatcher(instances, runtime, batch_size=BATCH)
-        batch = agent.trim_batch(next(iter(batcher.eval_batches())))
-        rollout = agent._device_rollout_fn("argmax")
-        rng = jax.random.PRNGKey(0)
-        args = (runtime, params, jnp.asarray(batch["ids"]),
-                jnp.asarray(batch["segs"]), jnp.asarray(batch["lengths"]),
-                jnp.asarray(batch["start_rows"]),
-                jnp.asarray(batch["start_views"]), rng)
-
-        # Fold the (integer) trajectory outputs into a float scalar so the
-        # timing loop carries a real data dependence on the rollout — without
-        # it XLA could hoist or dead-code the body (time_fn's perturbation
-        # only rides floating-point outputs).
-        def timed(rt, p, ids, segs, lengths, rows0, views0, r):
-            rows, views, moved = rollout(rt, p, ids, segs, lengths,
-                                         rows0, views0, r)
-            return (rows.astype(jnp.float32).sum()
-                    + moved.astype(jnp.float32).sum())
-
-        ms = time_fn(timed, *args, n_lo=N_LO, n_hi=N_HI,
-                     repeats=1 if TINY else 3)
-        out = {
-            "metric": "ndh_eval_rollout_throughput",
-            "episodes_per_sec_per_chip": round(
-                BATCH / (ms / 1000.0) / max(jax.local_device_count(), 1), 2),
-            "actions_per_sec_per_chip": round(
-                BATCH * episode_len / (ms / 1000.0)
-                / max(jax.local_device_count(), 1), 2),
-            "batch": BATCH, "episode_len": episode_len,
-            "seq_bucket": int(batch["ids"].shape[1]),
-            "ms_per_batch": round(ms, 2),
-            "device": jax.devices()[0].device_kind,
-        }
-        try:
-            cost = rollout.lower(*args).compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-            if flops and peak:
-                out["mfu_cost_model"] = round(flops / (ms / 1000.0) / peak, 4)
-                out["batch_tflops"] = round(flops / 1e12, 3)
-        except Exception:
-            pass
-        print(json.dumps(out), flush=True)
+        print(json.dumps(measure(episode_len)), flush=True)
 
 
 if __name__ == "__main__":

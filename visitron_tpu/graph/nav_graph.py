@@ -29,7 +29,7 @@ class NavGraph:
       positions: (V, 3) float32 world positions (pose[3], pose[7], pose[11]).
       heights: (V,) float32 per-viewpoint height field from the JSON.
       adjacency: (V, V) bool, undirected unobstructed connectivity.
-      dist: (V, V) float32 shortest-path metric distances (inf if unreachable).
+      dist: (V, V) float64 shortest-path metric distances (inf if unreachable).
       next_hop: (V, V) int32; ``next_hop[u, g]`` is the first node after ``u``
         on a shortest path u->g; ``next_hop[u, u] == u``; -1 if unreachable.
     """
@@ -126,7 +126,12 @@ class NavGraph:
         )
         adj = raw_adj[np.ix_(keep, keep)]
 
-        diffs = positions[:, None, :].astype(np.float64) - positions[None, :, :]
+        # Edge weights from the RAW float64 poses — rounding positions to f32
+        # first perturbs distances at ~1e-7 relative, which the differential
+        # test against the reference Evaluation catches (utils_data.py:29-35
+        # computes weights in full precision).
+        pose64 = pose[keep]
+        diffs = pose64[:, None, :] - pose64[None, :, :]
         eucl = np.sqrt((diffs**2).sum(-1))
         weights = np.where(adj, eucl, 0.0)
         graph = csr_matrix(weights)
@@ -146,7 +151,7 @@ class NavGraph:
             positions=positions,
             heights=heights,
             adjacency=adj,
-            dist=dist.astype(np.float32),
+            dist=dist,  # float64: host-side eval math; device packers cast
             next_hop=next_hop,
         )
 

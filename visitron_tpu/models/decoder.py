@@ -37,7 +37,10 @@ class SoftDotAttention(nn.Module):
             attn_in = jnp.where(mask, NEG_INF, attn_in)
         attn = nn.softmax(attn_in, axis=-1)
         weighted = jnp.einsum("bs,bsc->bc", attn, context)
-        score = attn if output_prob else logit
+        # output_prob=False returns the MASKED logits: the reference's
+        # ``logit = attn`` aliases the tensor its in-place masked_fill_
+        # mutates (agent_models.py:338-349) — pinned by the differential test.
+        score = attn if output_prob else attn_in
         if output_tilde:
             h_tilde = nn.tanh(
                 nn.Dense(self.query_dim, use_bias=False, name="linear_out")(

@@ -130,11 +130,15 @@ def run_pretrain(cfg: RunConfig):
         store = RegionFeatureStore.from_pickle(cfg.region_feature_prefix)
         detector_classes = sorted({t for v in store.region_tokens.values() for t in v})
 
-    def make_dataset(splits):
+    def make_dataset(splits, only=None):
+        """Build a PretrainDataset over ``splits``; ``only`` restricts to a
+        single source dataset (lowercase name) for the reference's per-dataset
+        validation sweeps (pretrain.py:301-420 builds separate ndh/r2r/r4r/rxr
+        val_seen+val_unseen datasets and logs each group)."""
         records = []
         for ds, flag in (("NDH", cfg.add_ndh_data), ("R2R", cfg.add_r2r_data),
                          ("R4R", cfg.add_r4r_data), ("RxR", cfg.add_rxr_data)):
-            if not flag:
+            if not flag or (only is not None and ds.lower() != only):
                 continue
             if ds == "RxR" and splits != ["train"]:
                 continue  # RxR ships train-guide annotations only
@@ -150,7 +154,8 @@ def run_pretrain(cfg: RunConfig):
         # Tokenize-once cache across epochs and runs (utils_data.py:241-284);
         # skipped in --debug where the synthetic root changes per run.
         cache = None if cfg.debug else os.path.join(
-            cfg.output_dir, f"pretrain_cache_{'_'.join(splits)}.pkl")
+            cfg.output_dir,
+            f"pretrain_cache_{only or 'all'}_{'_'.join(splits)}.pkl")
         return PretrainDataset(
             records, ws.tokenizer, region_store=store,
             detector_classes=detector_classes,
@@ -295,14 +300,24 @@ def run_pretrain(cfg: RunConfig):
                 break
             if saved_it != it:
                 ckpt.save(it, save_params(), state["opt_state"])
-            # Per-epoch validation over the val splits (pretrain.py:273-579 parity).
-            for split in ("val_seen", "val_unseen"):
-                val_ds = make_dataset([split])
-                if val_ds is None or len(val_ds) < batch_size:
+            # Per-epoch, PER-DATASET validation: one val_seen + val_unseen
+            # sweep per enabled source dataset, logged under
+            # ``{ds}_val_seen/...`` metric groups (pretrain.py:301-579 builds
+            # and scores ndh/r2r/r4r datasets separately so the ablation
+            # table's per-dataset diagnostics reproduce; RxR ships train-only
+            # annotations and has no val sweep).
+            for ds_name, flag in (("ndh", cfg.add_ndh_data),
+                                  ("r2r", cfg.add_r2r_data),
+                                  ("r4r", cfg.add_r4r_data)):
+                if not flag:
                     continue
-                vals = trainer.evaluate(state["params"], val_ds, local_bs)
-                logger.info("epoch %d %s %s", epoch, split, vals)
-                metrics.log(vals, step=it, prefix=f"{split}/")
+                for split in ("val_seen", "val_unseen"):
+                    val_ds = make_dataset([split], only=ds_name)
+                    if val_ds is None or len(val_ds) < batch_size:
+                        continue
+                    vals = trainer.evaluate(state["params"], val_ds, local_bs)
+                    logger.info("epoch %d %s_%s %s", epoch, ds_name, split, vals)
+                    metrics.log(vals, step=it, prefix=f"{ds_name}_{split}/")
     ckpt.wait_until_finished()
     metrics.close()
     return state
