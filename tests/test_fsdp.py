@@ -154,3 +154,73 @@ def test_zero_flags_rejected_on_unsupported_tasks():
         runner.main(["viewpoint", "--fsdp", "--debug"])
     with pytest.raises(SystemExit):
         runner.main(["turn_based", "--zero1", "--debug"])
+
+
+def test_fsdp_moments_co_sharded_with_tp_params():
+    """Under --fsdp --mesh_tp, the Adam moments of tp-split kernels take the
+    PARAM's tp sharding (fsdp_opt_rules), not a dp reshard — the update is
+    shard-local for every leaf (no per-step reshard collectives)."""
+    batch = _batch()
+    trainer = PretrainTrainer(_small_cfg(), mesh=make_mesh(dp=4, tp=2),
+                              total_steps=10, fsdp=True)
+    state = trainer.init_state(batch)
+
+    def qkv_specs(tree):
+        return {"/".join(str(q) for q in p): x.sharding.spec
+                for p, x in jax.tree_util.tree_leaves_with_path(tree)
+                if "qkv" in "/".join(str(q) for q in p) and x.ndim == 2}
+
+    param_specs = qkv_specs(state["params"])
+    assert param_specs, "no qkv kernels found"
+    moment_specs = qkv_specs(state["opt_state"])
+    assert moment_specs, "no qkv moments found"
+    for key, spec in moment_specs.items():
+        suffix = key[key.index("['params']"):]  # strip the optax state prefix
+        assert param_specs.get(suffix) == spec, (key, spec, param_specs)
+    # The co-sharding survives the jitted step (fsdp_pin_layouts).
+    state, _ = trainer.step_fn()(state, batch)
+    assert qkv_specs(state["opt_state"]) == moment_specs
+
+
+def test_fsdp_composes_with_context_parallelism():
+    """dp=2 x cp=4 (ring attention): params/moments dp-sharded, step runs
+    (the --fsdp --mesh_cp CLI combination was previously accepted but
+    unverified)."""
+    from visitron_tpu.parallel import make_cp_mesh
+
+    batch = _batch()
+    plain = PretrainTrainer(_small_cfg(), mesh=make_cp_mesh(dp=2, cp=4),
+                            total_steps=10)
+    f = PretrainTrainer(_small_cfg(), mesh=make_cp_mesh(dp=2, cp=4),
+                        total_steps=10, fsdp=True)
+    ps, fs = plain.init_state(batch), f.init_state(batch)
+    for _ in range(2):
+        ps, pb = plain.step_fn()(ps, batch)
+        fs, fb = f.step_fn()(fs, batch)
+    assert np.isclose(float(pb["loss"]), float(fb["loss"]), rtol=1e-6)
+    big = max(jax.tree.leaves(fs["params"]), key=lambda x: x.size)
+    assert _sharded_fraction(big) == 1 / 2  # dp=2 only; cp untouched
+
+
+def test_zero_flags_from_config_file_warn_not_abort(tmp_path, capsys):
+    """A shared config file with zero1/fsdp true must NOT abort tasks that
+    ignore those flags (only explicit CLI flags are a hard error) — a reused
+    pretrain config keeps driving nav/turn_based runs."""
+    import json
+
+    from visitron_tpu import run as runner
+
+    p = tmp_path / "shared.json"
+    p.write_text(json.dumps({"zero1": True, "fsdp": True,
+                             "output_dir": str(tmp_path / "out")}))
+    seen = {}
+
+    orig = runner.run_turn_based
+    runner.run_turn_based = lambda cfg: seen.setdefault("cfg", cfg)
+    try:
+        runner.main(["turn_based", "--config", str(p), "--debug"])
+    finally:
+        runner.run_turn_based = orig
+    assert seen["cfg"].zero1 is False and seen["cfg"].fsdp is False
+    err = capsys.readouterr().err
+    assert "ignored by task" in err

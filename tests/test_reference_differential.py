@@ -511,3 +511,87 @@ def test_attn_decoder_lstm_with_classifier_matches_reference_module():
     np.testing.assert_allclose(np.asarray(nav), _t2n(rnav), atol=2e-5)
     np.testing.assert_allclose(np.asarray(qa), _t2n(rqa), atol=2e-5)
     np.testing.assert_allclose(np.asarray(tilde), _t2n(rtilde), atol=2e-5)
+
+
+def test_turn_based_decoder_matches_reference_module():
+    """tasks/turn_based/agent_models.py:277-319 AttnDecoderLSTM (the 6-action
+    low-level decoder) vs models.decoder.TurnBasedDecoderLSTM with ported
+    weights."""
+    import torch
+
+    from reference_loader import TURN_BASED_DIR
+
+    am = load_reference_module("agent_models", task_dir=TURN_BASED_DIR)
+    from visitron_tpu.models.decoder import TurnBasedDecoderLSTM
+
+    torch.manual_seed(5)
+    in_act, out_act, emb, hid, feat = 8, 6, 16, 32, 32  # ctx dim == hid
+    ref = am.AttnDecoderLSTM(in_act, out_act, emb, hid, dropout_ratio=0.5,
+                             feature_size=feat).eval()
+    params = {"params": {
+        "embedding": {"embedding": _t2n(ref.embedding.weight)},
+        "lstm": _port_lstm_cell(ref.lstm),
+        "attention_layer": _port_softdot(ref.attention_layer),
+        "decoder2action": {"kernel": _t2n(ref.decoder2action.weight).T,
+                           "bias": _t2n(ref.decoder2action.bias)},
+    }}
+    rng = np.random.default_rng(5)
+    b, s = 4, 7
+    action = rng.integers(0, in_act, (b, 1))
+    feature = rng.standard_normal((b, feat)).astype(np.float32)
+    h0 = rng.standard_normal((b, hid)).astype(np.float32)
+    c0 = rng.standard_normal((b, hid)).astype(np.float32)
+    ctx = rng.standard_normal((b, s, hid)).astype(np.float32)
+    mask = np.zeros((b, s), bool)
+    mask[:, -2:] = True
+    import torch as th
+
+    with th.no_grad():
+        rh, rc, ralpha, rlogit = ref(th.from_numpy(action),
+                                     th.from_numpy(feature),
+                                     th.from_numpy(h0), th.from_numpy(c0),
+                                     th.from_numpy(ctx),
+                                     ctx_mask=th.from_numpy(mask))
+    h, c, alpha, logit = TurnBasedDecoderLSTM(
+        input_action_size=in_act, output_action_size=out_act,
+        embedding_size=emb, hidden_size=hid, feature_size=feat).apply(
+        params, action[:, 0], feature, h0, c0, ctx, ctx_mask=mask,
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(h), _t2n(rh), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), _t2n(rc), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), _t2n(ralpha), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logit), _t2n(rlogit), atol=2e-5)
+
+
+def test_masked_lstm_scan_matches_torch_pack_padded():
+    """models/lstm.py claims masked ``lax.scan`` reproduces
+    pack_padded_sequence semantics exactly (the reference's cuDNN encoder
+    path, agent_models.py:223-310): outputs zero at pads, final (h, c) from
+    each sequence's true last step.  Prove it against torch itself."""
+    import torch
+
+    from visitron_tpu.models.lstm import masked_lstm_scan
+
+    torch.manual_seed(7)
+    b, t, inp, hid = 5, 9, 12, 16
+    lstm = torch.nn.LSTM(inp, hid, num_layers=1, batch_first=True).eval()
+    params = {
+        "wi": _t2n(lstm.weight_ih_l0), "wh": _t2n(lstm.weight_hh_l0),
+        "bi": _t2n(lstm.bias_ih_l0), "bh": _t2n(lstm.bias_hh_l0),
+    }
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((b, t, inp)).astype(np.float32)
+    lengths = np.array([9, 4, 7, 1, 6])
+
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(x), torch.from_numpy(lengths), batch_first=True,
+        enforce_sorted=False)
+    with torch.no_grad():
+        out, (hn, cn) = lstm(packed)
+    out, _ = torch.nn.utils.rnn.pad_packed_sequence(out, batch_first=True,
+                                                    total_length=t)
+
+    ours, (h_last, c_last) = masked_lstm_scan(params, x, lengths)
+    np.testing.assert_allclose(np.asarray(ours), _t2n(out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_last), _t2n(hn)[0], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_last), _t2n(cn)[0], atol=2e-5)

@@ -137,6 +137,11 @@ def main() -> None:
                     help="speaker action-angle features in the turn-delta "
                          "frame (relative to the previous move's exact "
                          "heading) instead of the snapped current view")
+    ap.add_argument("--seed", type=int, default=88,
+                    help="training seed: agent/speaker init + batcher "
+                         "shuffles (the WORLD stays seed-13 — the dataset is "
+                         "held fixed across the seed spread; aug walk "
+                         "sampling keeps --aug-seed)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host-CPU backend (JAX_PLATFORMS env is "
                          "overridden by the relay sitecustomize; only "
@@ -188,7 +193,8 @@ def main() -> None:
         return ViewpointAgent(cfg, runtime, feature_dim=feat_dim,
                               episode_len=args.episode_len, rnn_dim=128,
                               encoder_hidden_size=128, aemb=32,
-                              max_seq_length=args.seq, learning_rate=1e-4)
+                              max_seq_length=args.seq, learning_rate=1e-4,
+                              seed=args.seed)
 
     def evaluate(agent, params, tag):
         vb = NavEpisodeBatcher(val_inst, runtime, batch_size=args.batch,
@@ -211,7 +217,7 @@ def main() -> None:
                       pad_id=tok.pad_token_id, episode_len=args.episode_len,
                       max_words=48, hidden_size=128, wemb=64,
                       learning_rate=1e-3, movement_frame=args.movement_frame,
-                      feat_dropout=args.feat_dropout)
+                      feat_dropout=args.feat_dropout, seed=args.seed)
     if args.oracle_captions:
         # Perfect-speaker upper bound: sample the same walk distribution but
         # caption each walk with the world's ground-truth directional
@@ -238,7 +244,8 @@ def main() -> None:
     else:
         sp_batcher = NavEpisodeBatcher(train_inst, runtime,
                                        batch_size=args.batch,
-                                       path_type="planner_path")
+                                       path_type="planner_path",
+                                       seed=args.seed)
         text_by_idx = {i.inst_idx: SpeakerAgent.instance_text(i)
                        for i in train_inst}
         sp_state = sp.init_state()
@@ -286,7 +293,7 @@ def main() -> None:
     for tag, instances in ((a, arm_instances[a]) for a in arms):
         agent = make_agent()
         batcher = NavEpisodeBatcher(instances, runtime, batch_size=args.batch,
-                                    path_type="planner_path", seed=88)
+                                    path_type="planner_path", seed=args.seed)
         state = agent.init_state()
         step = agent.train_step_fn()
         for i, batch in enumerate(batcher.train_batches(

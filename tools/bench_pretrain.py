@@ -70,6 +70,18 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
 
     jb = [jax.tree.map(jnp.asarray, b) for b in batches]
     ms = time_step_fn(step, state, stack_batches(jb), n_lo=3, n_hi=13)
+    # Relay-noise guard: the remote relay's per-fetch RPC constant can swing
+    # by seconds between calls; when it swamps a 10-step window the
+    # difference clamps to ~0 and the naive division reports absurd
+    # throughput (seen in-process after a long headline bench).  A BERT-base
+    # pretrain step cannot run under 1 ms — widen the window, then refuse.
+    if ms < 1.0:
+        ms = time_step_fn(step, state, stack_batches(jb), n_lo=5, n_hi=45,
+                          repeats=4)
+    if ms < 1.0:
+        raise RuntimeError(
+            f"pretrain timing window collapsed ({ms:.2g} ms/step) — relay "
+            "RPC variance swamped the measurement; rerun in a quieter window")
     out = {"metric": "pretrain_examples_per_sec_per_chip",
            "value": round(batch / (ms / 1000.0) /
                           max(jax.local_device_count(), 1), 2),

@@ -169,6 +169,74 @@ def graft_bert_into_encoder(encoder_params: dict, model_path: str, cfg: BertConf
     return new
 
 
+def graft_pretrain_checkpoint_into_encoder(encoder_params: dict,
+                                           model_path: str) -> dict:
+    """Initialize the dialog encoder's BERT from one of OUR stage-2
+    pretraining checkpoints (orbax; ``run.py pretrain`` output).
+
+    This is the ablation-chain initialization the reference performs with
+    torch checkpoints (``model_name_or_path output/.../checkpoint-30000`` in
+    run_scripts/ablations/*finetune*.sh + train.py:40): the pretrained
+    VisitronBert subtree replaces the encoder's fresh BERT; LSTM/projection
+    layers keep their init.  ``model_path`` may name a specific
+    ``.../checkpoint-N`` directory or a pretraining output dir (latest
+    completed checkpoint wins).
+    """
+    import re
+
+    import flax
+
+    from visitron_tpu.train.checkpoint import CheckpointManager
+
+    base = os.path.basename(os.path.normpath(model_path))
+    m = re.fullmatch(r"checkpoint-(\d+)", base)
+    if m:
+        mgr = CheckpointManager(os.path.dirname(os.path.normpath(model_path)))
+        step = int(m.group(1))
+    else:
+        mgr = CheckpointManager(model_path)
+        step = mgr.latest()
+        if step is None:
+            raise FileNotFoundError(
+                f"no completed pretraining checkpoint under {model_path}")
+    restored = mgr.restore_raw(step)
+    src = flax.traverse_util.flatten_dict(restored["params"]["bert"])
+    tgt = flax.traverse_util.flatten_dict(
+        encoder_params["params"]["bert"]["bert"])
+    replaced = 0
+    for k, v in src.items():
+        if k in tgt:
+            assert tgt[k].shape == v.shape, (k, tgt[k].shape, v.shape)
+            tgt[k] = np.asarray(v, np.float32)
+            replaced += 1
+    if not replaced:
+        raise ValueError(f"checkpoint at {model_path} shares no BERT "
+                         "parameters with the encoder (wrong dims?)")
+    out = flax.traverse_util.unflatten_dict(tgt)
+    import copy
+
+    new = copy.deepcopy(jax.tree.map(np.asarray, encoder_params))
+    new["params"]["bert"]["bert"] = out
+    return new
+
+
+def is_pretrain_checkpoint(model_path: str) -> bool:
+    """True when ``model_path`` is one of OUR orbax pretraining outputs (a
+    ``checkpoint-N`` dir or a run dir containing completed ones) rather than
+    a torch ``pytorch_model.bin`` checkpoint."""
+    if not os.path.isdir(model_path):
+        return False
+    if os.path.exists(os.path.join(model_path, "pytorch_model.bin")):
+        return False
+    if os.path.isdir(os.path.join(model_path, "params")):
+        return True
+    try:
+        entries = os.listdir(model_path)
+    except OSError:
+        return False
+    return any(e.startswith("checkpoint-") for e in entries)
+
+
 def load_oscar_weights(model_path: str, cfg: BertConfig, template_params: dict,
                        seed: int = 0) -> dict:
     """Load a torch Oscar/BERT checkpoint into a full params pytree, keeping

@@ -165,19 +165,42 @@ def fsdp_shard_params(mesh: Mesh, params):
     return reshard_state(params, fsdp_param_rules(mesh, params))
 
 
+def fsdp_opt_rules(mesh: Mesh, params, opt_state):
+    """FSDP optimizer-state shardings: each Adam moment takes ITS PARAMETER's
+    fsdp rule, so the update is shard-local for every leaf.
+
+    ``zero1_opt_rules`` picks the first dp-divisible axis per moment, which
+    matches ``fsdp_param_rules`` for dp-sharded leaves but NOT for tp-split
+    kernels under a (dp, tp) mesh — the param keeps P(..., 'tp') while the
+    moment would get P('dp', ...), forcing per-step reshard collectives in
+    the Adam update.  Moment subtrees are recognized structurally (any
+    opt-state node congruent with the params tree — optax's mu/nu); scalars
+    and other leaves fall back to the zero1 rule."""
+    ptreedef = jax.tree.structure(params)
+    prules = fsdp_param_rules(mesh, params)
+
+    def is_param_tree(node):
+        return jax.tree.structure(node) == ptreedef
+
+    def rule(node):
+        if is_param_tree(node):
+            return prules
+        return zero1_opt_rules(mesh, node)
+
+    return jax.tree.map(rule, opt_state, is_leaf=is_param_tree)
+
+
 def fsdp_pin_layouts(mesh: Mesh, params, opt_state):
     """Layout stability inside a jitted FSDP train step.
 
-    Pins the updated params to their dp shards and the optimizer state to
-    the ZeRO shards — without these the compiler may re-replicate either on
-    the way out of the step, silently giving back the memory win.  The
-    moment rules (zero1_opt_rules) pick the same first-dp-divisible axis as
-    fsdp_param_rules, so each moment is co-sharded with its parameter and
-    the Adam update stays local."""
+    Pins the updated params to their dp shards and the optimizer moments to
+    their parameters' shards (fsdp_opt_rules) — without these the compiler
+    may re-replicate either on the way out of the step, silently giving back
+    the memory win."""
     params = jax.lax.with_sharding_constraint(
         params, fsdp_param_rules(mesh, params))
     opt_state = jax.lax.with_sharding_constraint(
-        opt_state, zero1_opt_rules(mesh, opt_state))
+        opt_state, fsdp_opt_rules(mesh, params, opt_state))
     return params, opt_state
 
 

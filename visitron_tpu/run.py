@@ -592,29 +592,41 @@ def main(argv=None):
         return
     _maybe_init_multihost()
     task, rest = argv[0], argv[1:]
+    import dataclasses
+
     if rest and rest[0] == "--config":
         # Experiment-config file (run_configs/*.json) + CLI overrides: only
         # flags literally present on the command line override the file, so an
         # explicit flag set to its default value still wins.
-        import dataclasses
-
-        base = RunConfig.from_json(rest[1])
-        cfg = dataclasses.replace(base, **RunConfig.cli_overrides(rest[2:]))
+        explicit = RunConfig.cli_overrides(rest[2:])
+        cfg = dataclasses.replace(RunConfig.from_json(rest[1]), **explicit)
     else:
+        explicit = RunConfig.cli_overrides(rest)
         cfg = RunConfig.from_args(rest)
     import jax
 
     # Counter-based RBG dropout/sampling keys: ~24% faster nav training on
     # TPU than threefry at BERT-base dropout volumes (VALIDATION.md).
     jax.config.update("jax_default_prng_impl", cfg.rng_impl)
-    # ZeRO flags are consumed per-task; reject rather than silently ignore.
+    # ZeRO flags are consumed per-task.  Explicit CLI flags on a task that
+    # does not consume them are a hard error; values inherited from a shared
+    # config file only warn (a reused pretrain config with "zero1": true must
+    # not abort the nav/turn_based runs that always ignored it).
     if cfg.fsdp and task != "pretrain":
-        raise SystemExit(
-            "--fsdp applies to the pretrain task; use --zero1 for the "
-            "fine-tune loops")
+        if "fsdp" in explicit:
+            raise SystemExit(
+                "--fsdp applies to the pretrain task; use --zero1 for the "
+                "fine-tune loops")
+        print(f"warning: config-file fsdp=true is ignored by task {task!r}",
+              file=sys.stderr)
+        cfg = dataclasses.replace(cfg, fsdp=False)
     if cfg.zero1 and task not in ("pretrain", "viewpoint"):
-        raise SystemExit(
-            "--zero1 applies to the pretrain and viewpoint tasks")
+        if "zero1" in explicit:
+            raise SystemExit(
+                "--zero1 applies to the pretrain and viewpoint tasks")
+        print(f"warning: config-file zero1=true is ignored by task {task!r}",
+              file=sys.stderr)
+        cfg = dataclasses.replace(cfg, zero1=False)
     if task == "viewpoint":
         run_viewpoint(cfg)
     elif task == "turn_based":

@@ -55,6 +55,7 @@ class SyntheticWorld:
         # random word salad — language -> action becomes learnable, making
         # generalization and augmentation studies meaningful on this world.
         self.directional_language = directional_language
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.dialog_turns = dialog_turns
         self.words_per_turn = words_per_turn
@@ -246,6 +247,41 @@ class SyntheticWorld:
             )
         return items
 
+    def rxr_items(self, n: int) -> list[dict]:
+        """RxR guide-annotation records (fields used by build_nav_instances
+        + pretrain datagen: instruction_id/instruction/scan/path/heading).
+        Drawn from a DERIVED rng so pre-existing seeded worlds' main stream
+        (ndh/cvdn/r2r draws) is unchanged."""
+        rng = np.random.default_rng((self._seed + 1) * 7919)
+        items = []
+        for k in range(n):
+            scan = self.scans[int(rng.integers(len(self.scans)))]
+            g = self.graphs[scan]
+            # Inline path sampling on the derived rng (self._random_path
+            # consumes the main stream).
+            start = int(rng.integers(g.num_viewpoints))
+            path = [start]
+            for _ in range(int(rng.integers(3, 8))):
+                nbrs = g.neighbors(path[-1])
+                if len(nbrs) == 0:
+                    break
+                path.append(int(rng.choice(nbrs)))
+            heading = float(rng.uniform(0, 2 * np.pi))
+            if self.directional_language:
+                instruction = self._directional_sentence(g, path, heading)
+            else:
+                instruction = " ".join(
+                    str(rng.choice(_WORDS)) for _ in range(int(rng.integers(8, 20))))
+            items.append({
+                "instruction_id": k,
+                "scan": scan,
+                "heading": heading,
+                "path": [g.viewpoints[i] for i in path],
+                "instruction": instruction,
+                "language": "en-US",
+            })
+        return items
+
     def cvdn_items(self, split: str, n: int, start_idx: int = 0) -> list[dict]:
         """CVDN gameplay-schema records (fields used by load_classifier_data)."""
         items = []
@@ -309,6 +345,13 @@ class SyntheticWorld:
             with open(os.path.join(p, f"R2R_{split}.json"), "w") as f:
                 json.dump(self.r2r_items(split, n, start_idx=idx), f)
             idx += 1000
+        # RxR ships train-guide annotations only (utils_data.py:92-99); the
+        # records come off a derived rng so existing seeded streams hold.
+        p = os.path.join(root, "RxR", "data")
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "rxr_train_guide.jsonl"), "w") as f:
+            for item in self.rxr_items(counts.get("train", 12)):
+                f.write(json.dumps(item) + "\n")
         return root
 
     # -- features ---------------------------------------------------------------

@@ -223,12 +223,24 @@ class ViewpointTrainer:
             self.logger.warning("model_name_or_path %s not found; training from scratch",
                                 cfg.model_name_or_path)
             return state
-        from visitron_tpu.models.oscar_import import graft_bert_into_encoder
+        from visitron_tpu.models.oscar_import import (
+            graft_bert_into_encoder, graft_pretrain_checkpoint_into_encoder,
+            is_pretrain_checkpoint)
 
         params = dict(state["params"])
-        params["encoder"] = graft_bert_into_encoder(
-            params["encoder"], cfg.model_name_or_path, self.ws.bert_config)
-        self.logger.info("loaded Oscar/BERT weights from %s", cfg.model_name_or_path)
+        if is_pretrain_checkpoint(cfg.model_name_or_path):
+            # The ablation chain: stage-2 pretraining (run.py pretrain, orbax)
+            # -> nav fine-tune, the reference's checkpoint-30000 handoff
+            # (run_scripts/ablations/*finetune*.sh).
+            params["encoder"] = graft_pretrain_checkpoint_into_encoder(
+                params["encoder"], cfg.model_name_or_path)
+            self.logger.info("loaded pretraining checkpoint from %s",
+                             cfg.model_name_or_path)
+        else:
+            params["encoder"] = graft_bert_into_encoder(
+                params["encoder"], cfg.model_name_or_path, self.ws.bert_config)
+            self.logger.info("loaded Oscar/BERT weights from %s",
+                             cfg.model_name_or_path)
         return {**state, "params": params}
 
     def test_submission(self, state=None, split: str = "test") -> str:

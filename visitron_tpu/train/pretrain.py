@@ -88,10 +88,17 @@ class PretrainTrainer:
             "rng": jax.device_put(jax.random.PRNGKey(self.seed + 1), rep),
         }
         if self.fsdp:
-            from visitron_tpu.parallel import fsdp_shard_params
+            from visitron_tpu.parallel import (fsdp_opt_rules,
+                                               fsdp_shard_params,
+                                               reshard_state)
 
             state["params"] = fsdp_shard_params(self.mesh, state["params"])
-        if self.zero1 or self.fsdp:
+            # Moments co-sharded with their params (incl. tp-split kernels
+            # under a (dp, tp) mesh) so the Adam update is shard-local.
+            state["opt_state"] = reshard_state(
+                state["opt_state"],
+                fsdp_opt_rules(self.mesh, state["params"], state["opt_state"]))
+        elif self.zero1:
             from visitron_tpu.parallel import zero1_shard_opt_state
 
             state["opt_state"] = zero1_shard_opt_state(
