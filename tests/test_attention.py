@@ -517,3 +517,128 @@ def test_flash_mesh_gate(monkeypatch):
     assert not A.attention_supports_flash_mesh(mesh, 1024, 1024, 64, 8, 9)   # h % tp
     assert not A.attention_supports_flash_mesh(mesh, 1000, 1024, 64, 8, 12)  # tiling
     assert not A.attention_supports_flash_mesh(None, 1024, 1024, 64, 8, 12)
+
+
+def test_fused_packed_matches_unpacked_exactly():
+    """The packed (B, S, H*D) kernel is BIT-identical to the unpacked
+    (B, H, S, D) kernel on equivalent views — same bodies, same per-head
+    dropout stream ids (i == b*H + h) — values, grads, and dropout all."""
+    from visitron_tpu.ops.attention import fused_attention, fused_attention_packed
+
+    rng = np.random.default_rng(9)
+    b, h, s, d = 2, 4, 256, 64
+    q4 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k4 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v4 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    keep = np.ones((b, s), np.float32)
+    keep[0, 180:] = 0.0
+    key_bias = jnp.asarray((1.0 - keep) * NEG_INF)
+
+    for seed, rate in ((None, 0.0), (jnp.int32(77), 0.3)):
+        ref = fused_attention(q4, k4, v4, key_bias, seed, rate, True)
+        got = fused_attention_packed(pack(q4), pack(k4), pack(v4), key_bias,
+                                     h, seed, rate, True)
+        np.testing.assert_array_equal(np.asarray(unpack(got)), np.asarray(ref))
+
+    def loss_packed(q, k, v):
+        return (fused_attention_packed(pack(q), pack(k), pack(v), key_bias,
+                                       h, jnp.int32(5), 0.2, True) ** 2).sum()
+
+    def loss_unpacked(q, k, v):
+        return (unpack(pack(fused_attention(q, k, v, key_bias, jnp.int32(5),
+                                            0.2, True))) ** 2).sum()
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q4, k4, v4)
+    gu = jax.grad(loss_unpacked, argnums=(0, 1, 2))(q4, k4, v4)
+    for a, b_ in zip(gp, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_bert_packed_layout_flag_parity():
+    """BertTextModel output is identical with fused_packed_layout on/off
+    (interpret-mode kernels route identically; eval mode => no dropout)."""
+    import dataclasses
+
+    from visitron_tpu.models import BertConfig
+    from visitron_tpu.models.bert import BertTextModel
+    import visitron_tpu.ops.attention as atn
+
+    cfg = BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                     num_attention_heads=1, intermediate_size=128,
+                     max_position_embeddings=128, type_vocab_size=2,
+                     use_fused_attention=True)
+    # Force the fused gates open off-TPU and route kernels via interpret.
+    orig_gate, orig_fused, orig_packed = (
+        atn.attention_supports_fused, atn.fused_attention,
+        atn.fused_attention_packed)
+    import visitron_tpu.models.bert as bert_mod
+
+    bert_mod.attention_supports_fused = lambda *a, **k: True
+    bert_mod.fused_attention = lambda q, k, v, kb, s, r: orig_fused(
+        q, k, v, kb, s, r, True)
+    bert_mod.fused_attention_packed = lambda q, k, v, kb, h, s, r: orig_packed(
+        q, k, v, kb, h, s, r, True)
+    try:
+        ids = np.array([[5, 9, 11, 2] * 16, [7, 3, 1, 2] * 16], np.int32)
+        mask = np.ones_like(ids)
+        outs = {}
+        for packed in (False, True):
+            c = dataclasses.replace(cfg, fused_packed_layout=packed)
+            model = BertTextModel(c)
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), ids,
+                                         attention_mask=mask)
+            seq, _ = model.apply(params, ids, attention_mask=mask)
+            outs[packed] = np.asarray(seq)
+        np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+    finally:
+        bert_mod.attention_supports_fused = orig_gate
+        bert_mod.fused_attention = orig_fused
+        bert_mod.fused_attention_packed = orig_packed
+
+
+def test_fused_mesh_packed_matches_unpacked_mesh():
+    """Packed mesh wrapper (head-group column sharding) == the unpacked mesh
+    wrapper on equivalent views — values, grads, and the per-shard dropout
+    streams (same (dp, head-axis) seed folds, same local head ids)."""
+    from visitron_tpu.ops.attention import (fused_attention_mesh,
+                                            fused_attention_mesh_packed)
+    from visitron_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, tp=2)
+    rng = np.random.default_rng(12)
+    b, h, s, d = 4, 4, 256, 64
+    q4 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k4 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v4 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    keep = np.ones((b, s), np.float32)
+    keep[1, 128:] = 0.0
+    key_bias = jnp.asarray((1.0 - keep) * NEG_INF)
+
+    for seed, rate in ((None, 0.0), (jnp.int32(21), 0.25)):
+        ref = fused_attention_mesh(q4, k4, v4, key_bias, seed, rate,
+                                   mesh=mesh, interpret=True)
+        got = fused_attention_mesh_packed(pack(q4), pack(k4), pack(v4),
+                                          key_bias, h, seed, rate,
+                                          mesh=mesh, interpret=True)
+        np.testing.assert_allclose(np.asarray(unpack(got)), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def loss_packed(q, k, v):
+        return (fused_attention_mesh_packed(pack(q), pack(k), pack(v),
+                                            key_bias, h, jnp.int32(4), 0.2,
+                                            mesh=mesh, interpret=True) ** 2).sum()
+
+    def loss_unpacked(q, k, v):
+        return (fused_attention_mesh(q, k, v, key_bias, jnp.int32(4), 0.2,
+                                     mesh=mesh, interpret=True) ** 2).sum()
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q4, k4, v4)
+    gu = jax.grad(loss_unpacked, argnums=(0, 1, 2))(q4, k4, v4)
+    for a, b_ in zip(gp, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)

@@ -130,8 +130,12 @@ def tiny_bert(monkeypatch):
 @pytest.mark.parametrize("relpath,task,scale,produces,consumes",
                          PLAN, ids=[p[0] for p in PLAN])
 def test_run_config_drives_trainer(relpath, task, scale, produces, consumes,
-                                   art, tiny_bert):
+                                   art, tiny_bert, caplog):
+    import logging
+
     from visitron_tpu import run as runner
+
+    caplog.set_level(logging.INFO, logger="visitron_tpu")
 
     cfg_path = os.path.join(RC, relpath)
     out = art["base"] / relpath.replace("/", "_").replace(".json", "")
@@ -173,9 +177,10 @@ def test_run_config_drives_trainer(relpath, task, scale, produces, consumes,
         assert os.path.exists(str(out / "regions") + ".pickle")
     if consumes and consumes[0] == "model_name_or_path" and task == "viewpoint":
         # The chained fine-tune must actually consume the pretraining
-        # checkpoint, not silently fall back to scratch init.
-        log = open(out / "train.log").read()
-        assert "loaded pretraining checkpoint" in log, relpath
+        # checkpoint, not silently fall back to scratch init.  (caplog, not
+        # train.log: setup_logger's file handler attaches once per process,
+        # so in-suite log FILES all land in the first drive's output dir.)
+        assert "loaded pretraining checkpoint" in caplog.text, relpath
 
     if produces:
         if task == "pretrain":

@@ -71,42 +71,58 @@ def build_step():
     return step, state, batch, runtime
 
 
-def summarize_xspace(logdir: str, top: int = 15) -> dict | None:
-    """Parse the captured xplane into {op name -> self time} via the
-    tensorboard profile plugin; None when no device plane was captured."""
+def summarize_xspace(logdir: str, top: int = 20, steps: int = 3) -> dict | None:
+    """Parse the captured xplane(s) into per-step op-time groups.
+
+    Reads the device plane directly with the xplane proto that ships inside
+    this image's tensorflow (the tensorboard_plugin_profile converter is
+    version-incompatible with tf 2.20 here: its _pywrap hook is gone and its
+    _pb2 files predate protobuf 4).  Groups the "XLA Ops" line by HLO name
+    prefix (%fusion / %attention / %copy / ...), which maps cleanly onto
+    compute vs bandwidth vs control categories.  Returns None when no device
+    plane was captured (e.g. a relay that returned host-only traces)."""
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     if not files:
         return None
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from collections import defaultdict
 
-    params = {"tqx": "out:json;"}
-    try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data(files, "op_profile", params)
-    except Exception as e:
-        return {"error": f"op_profile conversion failed: {e}"}
-    try:
-        tree = json.loads(data)
-    except Exception:
-        return {"error": "op_profile output not JSON"}
-    # The op_profile tree: byProgram/byCategory breakdown with
-    # metrics.time fractions.  Walk to category level.
-    out = {}
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    def walk(node, depth=0):
-        name = node.get("name", "")
-        metrics = node.get("metrics") or {}
-        t = metrics.get("time")
-        if t and depth >= 1:
-            out.setdefault(name, 0.0)
-            out[name] += t
-        for ch in node.get("children", []) or []:
-            walk(ch, depth + 1)
-
-    root = tree.get("byCategory") or tree.get("by_category") or {}
-    if root:
-        walk(root)
-    return {"categories": dict(sorted(out.items(), key=lambda kv: -kv[1])[:top]),
-            "raw_files": files}
+    groups: dict[str, float] = defaultdict(float)
+    ops: dict[str, float] = defaultdict(float)
+    step_ms = 0.0
+    found_device = False
+    for path in files:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            found_device = True
+            md = {m.id: m for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name == "Steps":
+                    step_ms += sum(e.duration_ps for e in line.events) / 1e9
+                if line.name != "XLA Ops":
+                    continue
+                for e in line.events:
+                    name = md[e.metadata_id].name
+                    ms = e.duration_ps / 1e9
+                    ops[name.split(" ")[0]] += ms
+                    groups[name.split(".")[0].split(" ")[0]] += ms
+    if not found_device:
+        return None
+    return {
+        "ms_per_step": round(step_ms / max(steps, 1), 2),
+        "groups_ms_per_step": {
+            k: round(v / max(steps, 1), 2)
+            for k, v in sorted(groups.items(), key=lambda kv: -kv[1])[:top]},
+        "top_ops_ms_per_step": {
+            k[:80]: round(v / max(steps, 1), 2)
+            for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:top]},
+        "raw_files": files,
+    }
 
 
 def main() -> None:

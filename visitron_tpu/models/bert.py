@@ -31,6 +31,8 @@ from visitron_tpu.ops.attention import (attention_supports_flash,
                                         attention_supports_ring,
                                         flash_attention, flash_attention_mesh,
                                         fused_attention, fused_attention_mesh,
+                                        fused_attention_mesh_packed,
+                                        fused_attention_packed,
                                         multi_head_attention, ring_attention)
 from visitron_tpu.ops.masking import make_attention_bias
 
@@ -65,6 +67,13 @@ class BertConfig:
     # dropout is active (ops/attention.py measurements).  Auto-gated by
     # attention_supports_fused; off-TPU and odd shapes fall through.
     use_fused_attention: bool = True
+    # Packed-layout variant of the fused kernel: q/k/v stay (B, S, H*D) —
+    # the QKV projection's natural memory layout — through the custom call,
+    # eliminating the (B, H, S, D) transpose copies XLA otherwise
+    # materializes around every kernel invocation (~10 ms/step of the
+    # 103 ms nav train step; tools/profile_nav_step.py trace).  Numerically
+    # identical to the unpacked kernel (same bodies, same dropout streams).
+    fused_packed_layout: bool = True
     # Rematerialize each transformer layer in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(layers) less activation
     # memory — enables batch scaling beyond HBM.
@@ -269,10 +278,20 @@ class BertSelfAttention(nn.Module):
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
-            if use_fused_mesh:
+            if use_fused_mesh and cfg.fused_packed_layout:
+                return fused_attention_mesh_packed(
+                    q, k, v, bias[:, 0, 0, :], h, seed, rate,
+                    mesh=cfg.attention_mesh).astype(cfg.dtype)
+            elif use_fused_mesh:
                 ctx = fused_attention_mesh(split(q), split(k), split(v),
                                            bias[:, 0, 0, :], seed, rate,
                                            mesh=cfg.attention_mesh)
+            elif cfg.fused_packed_layout:
+                # Packed path: q/k/v/out stay (B, S, H*D) — no transpose
+                # copies around the custom call (see the config flag).
+                return fused_attention_packed(
+                    q, k, v, bias[:, 0, 0, :], h, seed, rate
+                ).astype(cfg.dtype)
             else:
                 ctx = fused_attention(split(q), split(k), split(v),
                                       bias[:, 0, 0, :], seed, rate)

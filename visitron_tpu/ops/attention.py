@@ -14,7 +14,13 @@ attention, oscar/modeling_bert.py:34-79):
     backward computes dq/dk/dv in ONE kernel.  Beats the XLA path at every
     production shape — 2.20 vs 3.32 ms at (B64, S256, rate .3),
     0.79 vs 5.26 at (16, 512), 2.00 vs 5.80 at (16, 768) (v5e, fwd+bwd,
-    bf16, 12 heads; tools/bench_attention.py).
+    bf16, 12 heads; tools/bench_attention.py).  The PACKED variant
+    (``fused_attention_packed``, BertConfig.fused_packed_layout, default on)
+    keeps q/k/v in the QKV projection's natural (B, S, H*D) layout through
+    the custom call — eliminating the (B, H, S, D) transpose copies XLA
+    otherwise materializes on both sides (~10 ms of the 103 ms nav train
+    step; bit-identical on hardware, 95.2-95.5 vs 103.7 ms/step
+    within-window = +8.5%% end-to-end).
   * ``flash_attention``: the blockwise online-softmax kernel set (separate
     dKV/dQ backward kernels, O(S) residuals) — the long-context path.  Its
     (B*H x S/128) grid of ~2-tile programs pays per-program overhead that
@@ -681,6 +687,208 @@ def _fused_bwd_rule(dropout_rate, interpret, res, g):
 fused_attention.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
+# -- packed-layout fused attention: (B, S, H*D) in, (B, S, H*D) out ----------
+#
+# The (B, H, S, D) API above forces a physical transpose on both sides of the
+# custom call: the QKV projection produces (B, S, H*D)-contiguous values, and
+# moving H ahead of S in memory is real data movement that XLA materializes
+# as ~0.15 ms copies around EVERY kernel invocation (fwd q/k/v + out + bwd
+# grads — measured ~10 ms/step of the 103 ms nav train step,
+# tools/profile_nav_step.py; VALIDATION.md round 4).  This variant instead
+# grids over (batch x head) and block-indexes each head's (S, D) slice
+# directly out of the packed (B, S, H*D) array — memory-natural on both
+# sides, so no layout copies exist anywhere.  The kernel bodies are REUSED
+# with hpb=1 (block (1, S, D)); the dropout head id i == b*H + h matches the
+# unpacked kernel's i*hpb+hh, so packed and unpacked are bit-identical for
+# the same seed (pinned in tests/test_attention.py).
+
+def _fused_packed_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                             *rest, heads: int, d: int, sm_scale: float,
+                             rate: float):
+    """Packed fwd: blocks are (1, S, heads*d) column slices of (B, S, H*D);
+    per-head (S, d) views are VALUE slices (static lane offsets), so no
+    sub-128-lane BlockSpec is needed.  Math identical to _fused_fwd_kernel."""
+    import jax.experimental.pallas as pl
+
+    lse_ref = rest[0] if rest else None
+    i = pl.program_id(0)
+    thr = _threshold(rate)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    bias = bias_ref[0, 0].astype(jnp.float32)
+    qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]  # (S, heads*d)
+    outs = []
+    for j in range(heads):
+        sl = slice(j * d, (j + 1) * d)
+        q, k, v = qb[:, sl], kb[:, sl], vb[:, sl]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        s = s + bias[None, :]
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=-1)
+        if lse_ref is not None:
+            lse_ref[j] = jnp.broadcast_to((m + jnp.log(l))[None, :],
+                                          lse_ref.shape[1:])
+        a = p * (1.0 / l)[:, None]
+        if rate > 0.0:
+            seed = _mix_seed(seed_ref, i * heads + j)
+            keep = _keep_mask(seed, 0, 0, a.shape, thr)
+            a = jnp.where(keep, a, 0.0) * inv_keep
+        outs.append(jnp.dot(a.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32))
+    o_ref[0] = (outs[0] if heads == 1
+                else jnp.concatenate(outs, axis=-1)).astype(o_ref.dtype)
+
+
+def _fused_packed_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                             lse_ref, dq_ref, dk_ref, dv_ref, *, heads: int,
+                             d: int, sm_scale: float, rate: float):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    thr = _threshold(rate)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    bias = bias_ref[0, 0].astype(jnp.float32)
+    qb, kb, vb, dob = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    dqs, dks, dvs = [], [], []
+    for j in range(heads):
+        sl = slice(j * d, (j + 1) * d)
+        q, k, v, do = qb[:, sl], kb[:, sl], vb[:, sl], dob[:, sl]
+        lse = lse_ref[j, 0]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        s = s + bias[None, :]
+        a = jnp.exp(s - lse[:, None])
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            seed = _mix_seed(seed_ref, i * heads + j)
+            keep = _keep_mask(seed, 0, 0, a.shape, thr)
+            a_eff = jnp.where(keep, a, 0.0) * inv_keep
+            da = jnp.where(keep, dp, 0.0) * inv_keep
+        else:
+            a_eff = a
+            da = dp
+        dvs.append(jnp.dot(a_eff.astype(do.dtype).T, do,
+                           preferred_element_type=jnp.float32))
+        d_i = jnp.sum(a_eff * dp, axis=-1)
+        ds = (a * (da - d_i[:, None]) * sm_scale).astype(q.dtype)
+        dqs.append(jnp.dot(ds, k, preferred_element_type=jnp.float32))
+        dks.append(jnp.dot(ds.T, q, preferred_element_type=jnp.float32))
+    cat = (lambda xs: xs[0] if heads == 1
+           else jnp.concatenate(xs, axis=-1))
+    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
+
+
+def _packed_heads_per_block(h: int, d: int) -> int:
+    """Head group whose packed column block is legal for the TPU lowering:
+    the last block dim must be 128-divisible (=> 128//d heads at d < 128) or
+    equal the full array dim (fallback: all heads in one program)."""
+    heads = max(128 // d, 1)
+    if heads > h or h % heads:
+        heads = h
+    return heads
+
+
+def _fused_packed_forward(q, k, v, key_bias, num_heads, dropout_seed,
+                          dropout_rate, interpret, need_lse=True):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError(
+            "fused_attention_packed: dropout_rate > 0 requires an explicit "
+            "dropout_seed (int32 scalar, varied per step/layer).")
+    b, s, hd = q.shape
+    h = num_heads
+    d = hd // h
+    heads = _packed_heads_per_block(h, d)
+    sm_scale = 1.0 / (d ** 0.5)
+    seed = (jnp.zeros((1,), jnp.int32) if dropout_seed is None
+            else jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+    hg = h // heads  # head groups per batch item
+    grid = (b * hg,)
+    blk = pl.BlockSpec((1, s, heads * d), lambda i: (i // hg, 0, i % hg))
+    out_specs = [blk]
+    out_shape = [jax.ShapeDtypeStruct((b, s, hd), q.dtype)]
+    if need_lse:
+        out_specs.append(pl.BlockSpec((heads, 8, s), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 8, s), jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(_fused_packed_fwd_kernel, heads=heads, d=d,
+                          sm_scale=sm_scale, rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk, blk, blk,
+            pl.BlockSpec((1, 1, s), lambda i: (i // hg, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(seed, q, k, v, key_bias[:, None, :])
+    return res[0], (res[1] if need_lse else None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6, 7))
+def fused_attention_packed(q, k, v, key_bias, num_heads, dropout_seed=None,
+                           dropout_rate: float = 0.0, interpret: bool = False):
+    """`fused_attention` on packed (B, S, H*D) q/k/v — zero layout copies.
+
+    Numerically identical to ``fused_attention`` on the equivalent
+    (B, H, S, D) views (same kernels, same per-head dropout streams); the
+    output keeps the packed layout the output projection consumes directly.
+    """
+    return _fused_packed_forward(q, k, v, key_bias, num_heads, dropout_seed,
+                                 dropout_rate, interpret, need_lse=False)[0]
+
+
+def _fused_packed_fwd_rule(q, k, v, key_bias, num_heads, dropout_seed,
+                           dropout_rate, interpret):
+    out, lse = _fused_packed_forward(q, k, v, key_bias, num_heads,
+                                     dropout_seed, dropout_rate, interpret)
+    return out, (q, k, v, key_bias, dropout_seed, lse)
+
+
+def _fused_packed_bwd_rule(num_heads, dropout_rate, interpret, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, key_bias, dropout_seed, lse = res
+    b, s, hd = q.shape
+    h = num_heads
+    d = hd // h
+    heads = _packed_heads_per_block(h, d)
+    sm_scale = 1.0 / (d ** 0.5)
+    seed = (jnp.zeros((1,), jnp.int32) if dropout_seed is None
+            else jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+    hg = h // heads
+    grid = (b * hg,)
+    blk = pl.BlockSpec((1, s, heads * d), lambda i: (i // hg, 0, i % hg))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_packed_bwd_kernel, heads=heads, d=d,
+                          sm_scale=sm_scale, rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk, blk, blk,
+            pl.BlockSpec((1, 1, s), lambda i: (i // hg, 0, 0)),
+            blk,
+            pl.BlockSpec((heads, 8, s), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((b, s, hd), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(seed, q, k, v, key_bias[:, None, :], g, lse)
+    return dq, dk, dv, jnp.zeros_like(key_bias), None
+
+
+fused_attention_packed.defvjp(_fused_packed_fwd_rule, _fused_packed_bwd_rule)
+
+
 def attention_supports_fused(q_len: int, k_len: int, head_dim: int) -> bool:
     """Gate for the small-S single-pass kernel: self-attention shapes whose
     full (S, S) score matrix fits the per-program VMEM budget.
@@ -759,6 +967,48 @@ def fused_attention_mesh(q, k, v, key_bias, dropout_seed=None,
     # annotation, and every output IS dp/head-axis-varying by construction.
     return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                      out_specs=P("dp", head_axis), check_vma=False)(*args)
+
+
+def fused_attention_mesh_packed(q, k, v, key_bias, num_heads,
+                                dropout_seed=None, dropout_rate: float = 0.0,
+                                *, mesh, interpret: bool = False):
+    """:func:`fused_attention_packed` under a (dp, tp|sp) mesh via shard_map.
+
+    q/k/v are packed (B, S, H*D); the head axis shards the packed COLUMN
+    dim (contiguous head groups per device), so each shard runs the packed
+    kernel on its (B/dp, S, (H/tp)*D) slice with zero layout copies — the
+    multi-chip twin of the packed single-device path.  Per-shard dropout
+    seeds fold in the (dp, head-axis) coordinates exactly like
+    :func:`fused_attention_mesh`, and the local head ids match the unpacked
+    kernel's, so the two mesh variants produce identical masks."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    has_seed = dropout_seed is not None
+    head_axis = _mesh_head_axis(mesh)
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    local_heads = num_heads // axes.get(head_axis, 1)
+
+    def body(q, k, v, key_bias, *seed_args):
+        seed = None
+        if has_seed:
+            di = jax.lax.axis_index("dp").astype(jnp.int32)
+            ti = jax.lax.axis_index(head_axis).astype(jnp.int32)
+            seed = (jnp.asarray(seed_args[0], jnp.int32)
+                    + di * jnp.int32(1000003) + ti * jnp.int32(7919))
+        return fused_attention_packed(q, k, v, key_bias, local_heads, seed,
+                                      dropout_rate, interpret)
+
+    in_specs = [P("dp", None, head_axis), P("dp", None, head_axis),
+                P("dp", None, head_axis), P("dp")]
+    args = [q, k, v, key_bias]
+    if has_seed:
+        in_specs.append(P())
+        args.append(jnp.asarray(dropout_seed, jnp.int32))
+    return shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=P("dp", None, head_axis), check_vma=False)(*args)
+
 
 
 # ---------------------------------------------------------------------------
