@@ -278,7 +278,12 @@ class BertSelfAttention(nn.Module):
             if rate > 0.0:
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
-            if use_fused_mesh and cfg.fused_packed_layout:
+            # Packed pays off where the transpose copies dominate the extra
+            # in-kernel lane slicing: S <= 512 measured +8.5% end-to-end
+            # (nav); at S=768 (pretraining joint sequences) it is neutral to
+            # ~-2.4% in adjacent-window A/Bs, so those shapes stay unpacked.
+            prefer_packed = cfg.fused_packed_layout and q_len <= 512
+            if use_fused_mesh and prefer_packed:
                 return fused_attention_mesh_packed(
                     q, k, v, bias[:, 0, 0, :], h, seed, rate,
                     mesh=cfg.attention_mesh).astype(cfg.dtype)
@@ -286,7 +291,7 @@ class BertSelfAttention(nn.Module):
                 ctx = fused_attention_mesh(split(q), split(k), split(v),
                                            bias[:, 0, 0, :], seed, rate,
                                            mesh=cfg.attention_mesh)
-            elif cfg.fused_packed_layout:
+            elif prefer_packed:
                 # Packed path: q/k/v/out stay (B, S, H*D) — no transpose
                 # copies around the custom call (see the config flag).
                 return fused_attention_packed(
