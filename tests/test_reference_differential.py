@@ -13,6 +13,11 @@ inputs:
     data.pretrain_dataset.PretrainDataset._mask_tokens  (matched RNG draws)
   * SoftDotAttention / AttnDecoderLSTM / AttnDecoderLSTMwithClassifier
     (agent_models.py:313-509)  vs  models.decoder  (ported weights)
+  * the turn_based decoder (turn_based/agent_models.py:277-319) and torch
+    pack_padded_sequence LSTM vs the masked lax.scan LSTM
+  * FeaturesReader on-disk interop (utils_data.py:398-498 reads OUR stores)
+  * CaptionBertEncoder with history states (oscar/modeling_bert.py:26-169)
+    vs models.bert.BertEncoder (ported fused-QKV weights)
 
 This converts formula-by-eye transcription parity into executed proof.
 """
@@ -595,3 +600,149 @@ def test_masked_lstm_scan_matches_torch_pack_padded():
     np.testing.assert_allclose(np.asarray(ours), _t2n(out), atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_last), _t2n(hn)[0], atol=2e-5)
     np.testing.assert_allclose(np.asarray(c_last), _t2n(cn)[0], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# 5. The Oscar encoder stack itself: CaptionBertEncoder vs models.bert
+# ---------------------------------------------------------------------------
+
+def _load_oscar_modeling_bert():
+    """Import /root/reference/oscar/modeling_bert.py.
+
+    Its only dependency is ``transformers.pytorch_transformers.modeling_bert``
+    (an unfetched git submodule pinning the OLD HF package); the Caption*
+    subclasses override every forward and use only attributes/submodules
+    (query/key/value/dropout/transpose_for_scores, BertSelfOutput,
+    BertIntermediate, BertOutput) that exist IDENTICALLY in the installed
+    modern transformers — so re-exporting the modern classes under the old
+    module path reproduces the reference stack faithfully."""
+    import importlib.util
+    import sys
+    import types
+
+    import transformers.models.bert.modeling_bert as hfb
+
+    if "transformers.pytorch_transformers.modeling_bert" not in sys.modules:
+        pkg = types.ModuleType("transformers.pytorch_transformers")
+        mb = types.ModuleType("transformers.pytorch_transformers.modeling_bert")
+
+        class _SelfAttention(hfb.BertSelfAttention):
+            # transformers >= 4.5x dropped the classic helper and the
+            # output_attentions attribute the reference forward uses;
+            # restore both (standard old-HF surface).
+            def __init__(self, config, **kw):
+                super().__init__(config, **kw)
+                self.output_attentions = config.output_attentions
+
+            def transpose_for_scores(self, x):
+                shape = x.size()[:-1] + (self.num_attention_heads,
+                                         self.attention_head_size)
+                return x.view(shape).permute(0, 2, 1, 3)
+
+        for n in ("BertAttention", "BertEncoder", "BertIntermediate",
+                  "BertLayer", "BertOutput", "BertSelfOutput"):
+            setattr(mb, n, getattr(hfb, n))
+        mb.BertSelfAttention = _SelfAttention
+        pkg.modeling_bert = mb
+        sys.modules["transformers.pytorch_transformers"] = pkg
+        sys.modules["transformers.pytorch_transformers.modeling_bert"] = mb
+    spec = importlib.util.spec_from_file_location(
+        "ref_oscar_modeling_bert",
+        os.path.join("/root/reference", "oscar", "modeling_bert.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_caption_bert_encoder_matches_reference_with_history_states():
+    """The reference's OWN CaptionBertEncoder (oscar/modeling_bert.py:26-169:
+    history_state K/V-prepend per layer) vs models.bert.BertEncoder with the
+    torch weights ported (fused-QKV concat) — with and without history."""
+    import torch
+    from transformers import BertConfig as HFConfig
+
+    import jax
+    import jax.numpy as jnp
+
+    from visitron_tpu.models import BertConfig
+    from visitron_tpu.models.bert import BertEncoder
+
+    mod = _load_oscar_modeling_bert()
+    hf_cfg = HFConfig(vocab_size=64, hidden_size=32, num_hidden_layers=3,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_position_embeddings=64, type_vocab_size=2)
+    hf_cfg.output_attentions = False
+    hf_cfg.output_hidden_states = False
+    # Constructing HF submodules outside a PreTrainedModel: pick the eager
+    # attention implementation explicitly (only its attributes are used).
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(2)
+    ref = mod.CaptionBertEncoder(hf_cfg).eval()
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=3,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64, type_vocab_size=2)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    g = lambda k: sd[k]
+    params = {"params": {}}
+    for i in range(cfg.num_hidden_layers):
+        pre = f"layer.{i}."
+        params["params"][f"layer_{i}"] = {
+            "attention": {"qkv": {
+                "kernel": np.concatenate(
+                    [g(pre + "attention.self.query.weight").T,
+                     g(pre + "attention.self.key.weight").T,
+                     g(pre + "attention.self.value.weight").T], axis=1),
+                "bias": np.concatenate(
+                    [g(pre + "attention.self.query.bias"),
+                     g(pre + "attention.self.key.bias"),
+                     g(pre + "attention.self.value.bias")], axis=0)}},
+            "attention_output": {
+                "kernel": g(pre + "attention.output.dense.weight").T,
+                "bias": g(pre + "attention.output.dense.bias")},
+            "attention_layer_norm": {
+                "scale": g(pre + "attention.output.LayerNorm.weight"),
+                "bias": g(pre + "attention.output.LayerNorm.bias")},
+            "intermediate": {"kernel": g(pre + "intermediate.dense.weight").T,
+                             "bias": g(pre + "intermediate.dense.bias")},
+            "output": {"kernel": g(pre + "output.dense.weight").T,
+                       "bias": g(pre + "output.dense.bias")},
+            "output_layer_norm": {
+                "scale": g(pre + "output.LayerNorm.weight"),
+                "bias": g(pre + "output.LayerNorm.bias")},
+        }
+
+    rng = np.random.default_rng(2)
+    b, s, hist = 2, 16, 6
+    hidden = rng.standard_normal((b, s, 32)).astype(np.float32)
+
+    # -- no history ---------------------------------------------------------
+    keep = np.ones((b, s), np.float32)
+    keep[1, 12:] = 0.0
+    bias = ((1.0 - keep) * -10000.0)[:, None, None, :].astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(hidden), torch.from_numpy(bias),
+                      head_mask=[None] * cfg.num_hidden_layers)[0]
+    ours = BertEncoder(cfg).apply({"params": params["params"]},
+                                  jnp.asarray(hidden), jnp.asarray(bias),
+                                  deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+    # -- with per-layer history states (K/V prepend) ------------------------
+    histories = [rng.standard_normal((b, hist, 32)).astype(np.float32)
+                 for _ in range(cfg.num_hidden_layers)]
+    keep_h = np.concatenate([np.ones((b, hist), np.float32), keep], axis=1)
+    keep_h[0, 2] = 0.0  # mask part of the history too
+    bias_h = ((1.0 - keep_h) * -10000.0)[:, None, None, :].astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(hidden), torch.from_numpy(bias_h),
+                      head_mask=[None] * cfg.num_hidden_layers,
+                      encoder_history_states=[torch.from_numpy(h)
+                                              for h in histories])[0]
+    ours = BertEncoder(cfg).apply(
+        {"params": params["params"]}, jnp.asarray(hidden), jnp.asarray(bias_h),
+        history_states=[jnp.asarray(h) for h in histories],
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
+                               rtol=2e-5, atol=2e-5)
