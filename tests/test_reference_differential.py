@@ -626,6 +626,17 @@ def _load_oscar_modeling_bert():
         pkg = types.ModuleType("transformers.pytorch_transformers")
         mb = types.ModuleType("transformers.pytorch_transformers.modeling_bert")
 
+        import torch
+        from torch import nn as _tnn
+
+        class _PreTrained(hfb.BertPreTrainedModel):
+            # Old-HF init pattern ``self.apply(self.init_weights)``: modern
+            # init_weights takes no module arg — accept-and-delegate.
+            def init_weights(self, module=None):
+                if module is None:
+                    return super().init_weights()
+                self._init_weights(module)
+
         class _SelfAttention(hfb.BertSelfAttention):
             # transformers >= 4.5x dropped the classic helper and the
             # output_attentions attribute the reference forward uses;
@@ -640,9 +651,12 @@ def _load_oscar_modeling_bert():
                 return x.view(shape).permute(0, 2, 1, 3)
 
         for n in ("BertAttention", "BertEncoder", "BertIntermediate",
-                  "BertLayer", "BertOutput", "BertSelfOutput"):
+                  "BertLayer", "BertOutput", "BertSelfOutput",
+                  "BertEmbeddings", "BertOnlyMLMHead", "BertPooler"):
             setattr(mb, n, getattr(hfb, n))
         mb.BertSelfAttention = _SelfAttention
+        mb.BertPreTrainedModel = _PreTrained
+        mb.BertLayerNorm = _tnn.LayerNorm
         pkg.modeling_bert = mb
         sys.modules["transformers.pytorch_transformers"] = pkg
         sys.modules["transformers.pytorch_transformers.modeling_bert"] = mb
@@ -746,3 +760,126 @@ def test_caption_bert_encoder_matches_reference_with_history_states():
         deterministic=True)
     np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
                                rtol=2e-5, atol=2e-5)
+
+
+def _load_reference_oscar_models():
+    """Load tasks/viewpoint_select/encoder.py (BertImgModelwithLocationEmbeds
+    + PreTrainOscar) — needs the old-HF shim plus an ``oscar`` package entry
+    for its ``from oscar.modeling_bert import CaptionBertEncoder``."""
+    import importlib.util
+    import sys
+    import types
+
+    mod = _load_oscar_modeling_bert()
+    if "oscar" not in sys.modules:
+        pkg = types.ModuleType("oscar")
+        pkg.modeling_bert = mod
+        sys.modules["oscar"] = pkg
+        sys.modules["oscar.modeling_bert"] = mod
+    spec = importlib.util.spec_from_file_location(
+        "ref_vp_encoder",
+        "/root/reference/tasks/viewpoint_select/encoder.py")
+    enc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(enc)
+    return enc
+
+
+def test_pretrain_oscar_full_model_matches_reference():
+    """The reference's OWN PreTrainOscar (encoder.py:161-441: VisitronBert
+    joint embedding + pooler + the three pretraining heads) vs our
+    PretrainModel with weights ported through models/oscar_import.py:
+    sequence/pooled outputs, MLM logits (tied decoder), mask/next losses and
+    all accuracies match exactly; the ONLY deviation is the reference's
+    token head applying Softmax BEFORE CrossEntropyLoss (feeding
+    probabilities where torch expects logits — CE(softmax(x)) != CE(x)),
+    which we correct; the test proves ref_token_loss == CE-of-softmax of
+    OUR logits, so the deviation is exactly that documented quirk."""
+    import torch
+    from transformers import BertConfig as HFConfig
+
+    import jax.numpy as jnp
+
+    from visitron_tpu.models import BertConfig
+    from visitron_tpu.models.oscar_import import convert_pretrain_to_flax
+    from visitron_tpu.models.pretrain import PretrainModel, pretrain_loss
+
+    enc_mod = _load_reference_oscar_models()
+    hf_cfg = HFConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_position_embeddings=64, type_vocab_size=2)
+    hf_cfg.output_attentions = False
+    hf_cfg.output_hidden_states = False
+    hf_cfg._attn_implementation = "eager"
+    hf_cfg.img_feature_dim = 24
+    hf_cfg.img_feature_type = "faster_r-cnn"
+    hf_cfg.use_img_layernorm = False
+    hf_cfg.action_space = 9
+    hf_cfg.detector_classes = 7
+    torch.manual_seed(4)
+    ref = enc_mod.PreTrainOscar(hf_cfg).eval()
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64, type_vocab_size=2,
+                     img_feature_dim=24, action_space=9, detector_classes=7,
+                     use_img_layernorm=False)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = {"params": convert_pretrain_to_flax(sd, cfg)}
+
+    rng = np.random.default_rng(4)
+    b, s, n_img = 2, 12, 4
+    ids = rng.integers(3, 64, (b, s)).astype(np.int32)
+    segs = rng.integers(0, 2, (b, s)).astype(np.int32)
+    mask = np.ones((b, s + n_img), np.int32)
+    mask[1, 9:s] = 0
+    img = rng.standard_normal((b, n_img, 24)).astype(np.float32)
+    loc = rng.standard_normal((b, n_img, 128)).astype(np.float32)
+    labels = np.full((b, s + n_img), -1, np.int64)
+    labels[0, 2], labels[0, 5], labels[1, 3] = 7, 11, 19
+    token_labels = np.full((b, s + n_img), -1, np.int64)
+    token_labels[0, s + 1], token_labels[1, s + 3] = 2, 5
+    next_action = np.array([1, 6], np.int64)
+
+    with torch.no_grad():
+        (ref_loss, ref_mask_loss, ref_next_loss, ref_token_loss,
+         ref_words_acc, ref_action_acc, ref_token_acc) = ref(
+            torch.from_numpy(ids.astype(np.int64)),
+            token_type_ids=torch.from_numpy(segs.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+            labels=torch.from_numpy(labels),
+            token_labels=torch.from_numpy(token_labels),
+            img_feats=torch.from_numpy(img),
+            img_location_embeddings=torch.from_numpy(loc),
+            next_action=torch.from_numpy(next_action))[:7]
+        ref_seq, ref_pooled = ref.bert(
+            torch.from_numpy(ids.astype(np.int64)),
+            token_type_ids=torch.from_numpy(segs.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+            img_feats=torch.from_numpy(img),
+            img_location_embeddings=torch.from_numpy(loc))[:2]
+
+    model = PretrainModel(cfg)
+    out = model.apply(params, jnp.asarray(ids), token_type_ids=jnp.asarray(segs),
+                      attention_mask=jnp.asarray(mask),
+                      img_feats=jnp.asarray(img),
+                      img_location_embeddings=jnp.asarray(loc),
+                      deterministic=True)
+    bundle = pretrain_loss(out, jnp.asarray(labels), jnp.asarray(next_action),
+                           jnp.asarray(token_labels))
+
+    np.testing.assert_allclose(np.asarray(out["sequence_output"]),
+                               ref_seq.numpy(), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["pooled_output"]),
+                               ref_pooled.numpy(), rtol=3e-5, atol=3e-5)
+    assert float(bundle["mask_loss"]) == pytest.approx(float(ref_mask_loss), abs=1e-5)
+    assert float(bundle["next_loss"]) == pytest.approx(float(ref_next_loss), abs=1e-5)
+    assert float(bundle["words_accuracy"]) == pytest.approx(float(ref_words_acc), abs=1e-6)
+    assert float(bundle["action_accuracy"]) == pytest.approx(float(ref_action_acc), abs=1e-6)
+    assert float(bundle["token_accuracy"]) == pytest.approx(float(ref_token_acc), abs=1e-6)
+    # The documented token-head deviation: the reference's CE-of-softmax
+    # reproduces EXACTLY from our raw logits.
+    tl = torch.from_numpy(np.asarray(out["token_logits"], np.float32))
+    ce_of_softmax = torch.nn.CrossEntropyLoss(ignore_index=-1)(
+        torch.softmax(tl, dim=-1).view(-1, 7), torch.from_numpy(token_labels).view(-1))
+    assert float(ref_token_loss) == pytest.approx(float(ce_of_softmax), abs=1e-5)
+    assert float(bundle["token_loss"]) != pytest.approx(float(ref_token_loss), abs=1e-3)

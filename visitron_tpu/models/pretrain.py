@@ -108,7 +108,14 @@ class PretrainModel(nn.Module):
 
 def pretrain_loss(outputs, labels, next_action=None, token_labels=None):
     """Loss/metric bundle parity (encoder.py:379-441): returns a dict with
-    loss, mask/next/token losses and word/action/token accuracies."""
+    loss, mask/next/token losses and word/action/token accuracies.
+
+    Documented deviation (pinned by the full-model differential test): the
+    reference's token head applies Softmax BEFORE CrossEntropyLoss
+    (encoder.py:324-326 + :383), feeding probabilities where torch expects
+    logits — CE(softmax(x)) != CE(x) (unlike the action head's LogSoftmax,
+    which CE's shift-invariance makes exactly equivalent).  We feed raw
+    logits; argmax/accuracy are unaffected, the loss is the standard one."""
     mlm_logits = outputs["mlm_logits"]
     seq_len = mlm_logits.shape[1]
     mask_loss, _ = masked_cross_entropy(mlm_logits, labels[:, :seq_len])
