@@ -74,6 +74,11 @@ class BertConfig:
     # 103 ms nav train step; tools/profile_nav_step.py trace).  Numerically
     # identical to the unpacked kernel (same bodies, same dropout streams).
     fused_packed_layout: bool = True
+    # Longest q_len the packed variant is preferred at: S <= 512 measured
+    # +8.5% end-to-end (nav); at S=768 adjacent-window A/Bs were neutral to
+    # ~-2.4%, so larger shapes keep the unpacked kernel.  A config field so
+    # benchmarks can probe the boundary without monkeypatching.
+    fused_packed_max_seq: int = 512
     # Rematerialize each transformer layer in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(layers) less activation
     # memory — enables batch scaling beyond HBM.
@@ -279,10 +284,9 @@ class BertSelfAttention(nn.Module):
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32)
             # Packed pays off where the transpose copies dominate the extra
-            # in-kernel lane slicing: S <= 512 measured +8.5% end-to-end
-            # (nav); at S=768 (pretraining joint sequences) it is neutral to
-            # ~-2.4% in adjacent-window A/Bs, so those shapes stay unpacked.
-            prefer_packed = cfg.fused_packed_layout and q_len <= 512
+            # in-kernel lane slicing (see fused_packed_max_seq).
+            prefer_packed = (cfg.fused_packed_layout
+                             and q_len <= cfg.fused_packed_max_seq)
             if use_fused_mesh and prefer_packed:
                 return fused_attention_mesh_packed(
                     q, k, v, bias[:, 0, 0, :], h, seed, rate,
