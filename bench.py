@@ -199,7 +199,8 @@ def main() -> None:
             feature_dim=FEAT_DIM, episode_len=EPISODE_LEN, max_seq_length=SEQ)
         ctrl_step = ctrl_agent.train_step_jit()
 
-    from visitron_tpu.utils.benchmark import stack_batches, time_step_fn
+    from visitron_tpu.utils.benchmark import (TimingWindowCollapsed,
+                                              stack_batches, time_step_fn)
 
     groups: dict[int, list] = {}
     for b in batches:
@@ -221,10 +222,20 @@ def main() -> None:
     have_true_flops = True
     for seq_len, group in sorted(groups.items()):
         stacked = stack_batches(group)
-        _, windows = time_step_fn(step_fn, state, stacked,
-                                  n_lo=5, n_hi=5 + TIMED_STEPS,
-                                  repeats=n_windows, detail=True,
-                                  extra_args=(runtime,))
+        # time_step_fn refuses (raises) on a collapsed window even after its
+        # internal warm-up retry; give the headline one more full attempt
+        # before letting the failure surface — a lost BENCH record is worse
+        # than one extra measurement pass.
+        for attempt in (0, 1):
+            try:
+                _, windows = time_step_fn(step_fn, state, stacked,
+                                          n_lo=5, n_hi=5 + TIMED_STEPS,
+                                          repeats=n_windows, detail=True,
+                                          extra_args=(runtime,))
+                break
+            except TimingWindowCollapsed:
+                if attempt:
+                    raise
         for w in range(n_windows):
             window_ms[w] += windows[w] * len(group)
         try:

@@ -49,6 +49,23 @@ def test_bench_baseline_derivation_pins_published_number():
     assert bench.BASELINE_ACTIONS_PER_SEC_PER_CHIP == round(derived, -1)
 
 
+def test_timing_window_collapse_refuses(monkeypatch):
+    """A frozen clock (t_hi <= t_lo even after the warm-up retry) must raise
+    TimingWindowCollapsed from both harness entry points — never publish a
+    1e-9-clamped absurd-throughput reading (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    from visitron_tpu.utils import benchmark
+
+    monkeypatch.setattr(benchmark.time, "perf_counter", lambda: 1234.5)
+    with pytest.raises(benchmark.TimingWindowCollapsed):
+        benchmark.time_fn(lambda x: x + 1.0, jnp.ones((4,)), n_lo=1, n_hi=2,
+                          repeats=1)
+    with pytest.raises(benchmark.TimingWindowCollapsed):
+        benchmark.time_step_fn(lambda s, b: (s + b, s), jnp.zeros(()),
+                               jnp.arange(2.0), n_lo=1, n_hi=2, repeats=1)
+
+
 def test_bench_eval_tiny_smoke():
     """tools/bench_eval.py --tiny mechanics on the CPU backend (the importable
     measure() used by bench.py's secondary block)."""

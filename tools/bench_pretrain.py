@@ -88,17 +88,41 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
            "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
            "fused": use_fused, "remat": remat, "bf16_adam": bf16_adam,
            "ms_per_step": round(ms, 2)}
-    try:
-        cost = raw.lower(state, jb[0]).compile().cost_analysis()
+    def _flops(step_fn) -> float:
+        cost = step_fn.lower(state, jb[0]).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+        return float(cost.get("flops", 0.0))
+
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    try:
+        flops = _flops(raw)
         if flops and peak:
             out["mfu"] = round(flops / (ms / 1000.0) / peak, 4)
             out["step_tflops"] = round(flops / 1e12, 2)
     except Exception:
         pass
+    if use_fused or use_flash:
+        # True-FLOP control (same approach as bench.py's headline): the
+        # Pallas attention custom calls are invisible to XLA's cost model,
+        # so the fused program's own accounting understates MFU.  Compile an
+        # XLA-attention twin — identical math, never executed — only for its
+        # cost_analysis(); one extra compile per run().
+        try:
+            import dataclasses
+
+            ctrl_cfg = dataclasses.replace(cfg, use_flash_attention=False,
+                                           use_fused_attention=False)
+            ctrl = PretrainTrainer(ctrl_cfg, total_steps=100,
+                                   bf16_adam_moments=bf16_adam).raw_step_fn()
+            true_flops = _flops(ctrl)
+            if true_flops and peak:
+                if "mfu" in out:
+                    out["mfu_cost_model"] = out["mfu"]
+                out["mfu"] = round(true_flops / (ms / 1000.0) / peak, 4)
+                out["step_tflops"] = round(true_flops / 1e12, 2)
+        except Exception:
+            pass
     return out
 
 

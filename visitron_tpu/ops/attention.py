@@ -20,7 +20,7 @@ attention, oscar/modeling_bert.py:34-79):
     the custom call — eliminating the (B, H, S, D) transpose copies XLA
     otherwise materializes on both sides (~10 ms of the 103 ms nav train
     step; bit-identical on hardware, 95.2-95.5 vs 103.7 ms/step
-    within-window = +8.5%% end-to-end).
+    within-window = +8.5% end-to-end).
   * ``flash_attention``: the blockwise online-softmax kernel set (separate
     dKV/dQ backward kernels, O(S) residuals) — the long-context path.  Its
     (B*H x S/128) grid of ~2-tile programs pays per-program overhead that

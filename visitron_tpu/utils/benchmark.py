@@ -38,6 +38,13 @@ PEAK_BF16_FLOPS = {
 }
 
 
+class TimingWindowCollapsed(RuntimeError):
+    """A two-point timing window differenced to <= 0 even after the warm-up
+    retry — the measurement is invalid and must not be published.  Raised by
+    :func:`time_step_fn` / :func:`time_fn` so every benchmark tool refuses
+    rather than records a 1e-9-clamped (absurd-throughput) reading."""
+
+
 def stack_batches(batches: list) -> dict:
     """Stack a list of same-shape batch dicts into one leading-dim pytree."""
     import numpy as np
@@ -107,6 +114,12 @@ def time_step_fn(step_fn: Callable, state, stacked_batches, *, n_lo: int = 5,
         # now; one re-measure of both ends restores a valid window.
         t_lo = min(run(n_lo))
         t_his = run(n_hi)
+    if min(t_his) <= t_lo:
+        # Still collapsed after the retry: refuse rather than publish the
+        # 1e-9-clamped nonsense (a 0.000-ms step reads as absurd throughput).
+        raise TimingWindowCollapsed(
+            f"timing window collapsed after retry: t_lo={t_lo:.4f}s, "
+            f"min(t_hi)={min(t_his):.4f}s over n_lo={n_lo}, n_hi={n_hi}")
     windows = [max(t - t_lo, 1e-9) / (n_hi - n_lo) * 1000.0 for t in t_his]
     if detail:
         return min(windows), windows
@@ -164,4 +177,8 @@ def time_fn(fn: Callable, *args, n_lo: int = 5, n_hi: int = 25,
     if t_hi <= t_lo:
         # Relay warm-up guard (see time_step_fn): re-measure on a warm link.
         t_lo, t_hi = run(n_lo), run(n_hi)
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1000.0
+    if t_hi <= t_lo:
+        raise TimingWindowCollapsed(
+            f"timing window collapsed after retry: t_lo={t_lo:.4f}s, "
+            f"t_hi={t_hi:.4f}s over n_lo={n_lo}, n_hi={n_hi}")
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1000.0
