@@ -162,7 +162,11 @@ def main() -> None:
         instances = build_nav_instances(root, ["train"], tok, max_seq_length=SEQ)
 
     cfg = BertConfig(vocab_size=len(tok), max_position_embeddings=SEQ,
-                     type_vocab_size=4, dtype=jnp.bfloat16, remat=REMAT)
+                     type_vocab_size=4, dtype=jnp.bfloat16, remat=REMAT,
+                     # BENCH_FUSED_LN=0: A/B control for the fused
+                     # add+LayerNorm kernel (ops/layernorm.py).
+                     use_fused_layernorm=os.environ.get(
+                         "BENCH_FUSED_LN", "1") == "1")
     # BENCH_BF16_ADAM=1 stores Adam moments in bf16 (--bf16_adam_moments):
     # same update math in fp32, half the optimizer-state HBM traffic.
     bf16_adam = os.environ.get("BENCH_BF16_ADAM", "0") == "1"

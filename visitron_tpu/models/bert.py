@@ -34,6 +34,7 @@ from visitron_tpu.ops.attention import (attention_supports_flash,
                                         fused_attention_mesh_packed,
                                         fused_attention_packed,
                                         multi_head_attention, ring_attention)
+from visitron_tpu.ops.layernorm import fused_add_layernorm, layernorm_supports
 from visitron_tpu.ops.masking import make_attention_bias
 
 
@@ -79,6 +80,12 @@ class BertConfig:
     # ~-2.4%, so larger shapes keep the unpacked kernel.  A config field so
     # benchmarks can probe the boundary without monkeypatching.
     fused_packed_max_seq: int = 512
+    # One-pass Pallas residual-add+LayerNorm (ops/layernorm.py): collapses
+    # XLA's stats/apply forward passes and param-grad/dx backward passes —
+    # the %convert_reduce_fusion + LN share of %multiply_reduce_fusion in
+    # the round-4 trace.  Auto-gated: off-TPU, non-tiling shapes, and any
+    # mesh (GSPMD cannot partition Mosaic calls) keep the flax LayerNorm.
+    use_fused_layernorm: bool = True
     # Rematerialize each transformer layer in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(layers) less activation
     # memory — enables batch scaling beyond HBM.
@@ -188,6 +195,51 @@ def _embed(num, cfg: BertConfig, name=None):
     )
 
 
+class FusedResidualLayerNorm(nn.Module):
+    """``LayerNorm(x [+ residual])`` with the same parameter tree as an
+    ``nn.LayerNorm`` of the same ``name`` ({scale, bias}, fp32) — checkpoint
+    and importer compatible (models/oscar_import.py name map unchanged).
+
+    Routes to the one-pass Pallas kernel (ops/layernorm.py) when the
+    config+shape gate passes; otherwise replicates flax's LayerNorm math
+    exactly (fast-variance stats, (x-mu)*(rsqrt*scale)+bias op order, fp32
+    reductions) so the CPU/test path is bit-identical to the previous
+    ``nn.LayerNorm(dtype=f32)`` call sites.  Output is fp32 on the fallback
+    path (call sites ``.astype(cfg.dtype)`` after, unchanged) and x.dtype on
+    the kernel path (the cast is fused; the subsequent astype is a no-op)."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        cfg = self.cfg
+        hidden = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (hidden,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (hidden,),
+                          jnp.float32)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        no_mesh = (cfg.attention_mesh is None and cfg.sp_mesh is None
+                   and cfg.cp_mesh is None)
+        if (cfg.use_fused_layernorm and no_mesh
+                and layernorm_supports(rows, hidden)):
+            return fused_add_layernorm(x, residual, scale, bias,
+                                       cfg.layer_norm_eps)
+        # Exact flax semantics, including the residual add in the INPUT
+        # dtype (the previous call sites wrote ``ln(attn + hidden)`` — the
+        # sum rounds to bf16 before promotion, and goldens pin that).
+        h = x if residual is None else x + residual
+        h32 = h.astype(jnp.promote_types(h.dtype, jnp.float32))
+        mu = h32.mean(axis=-1)
+        mu2 = (h32 * h32).mean(axis=-1)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        y = h32 - mu[..., None]
+        mul = jax.lax.rsqrt(var[..., None] + cfg.layer_norm_eps) * scale
+        return jnp.asarray(y * mul + bias, jnp.float32)
+
+
 class BertEmbeddings(nn.Module):
     cfg: BertConfig
     word_embed: nn.Module | None = None  # shared with the tied MLM decoder
@@ -205,7 +257,7 @@ class BertEmbeddings(nn.Module):
         emb = word_embed(input_ids)
         emb += _embed(cfg.max_position_embeddings, cfg, name="position_embeddings")(position_ids)
         emb += _embed(cfg.type_vocab_size, cfg, name="token_type_embeddings")(token_type_ids)
-        emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(emb)
+        emb = FusedResidualLayerNorm(cfg, name="layer_norm")(emb)
         emb = nn.Dropout(cfg.hidden_dropout_prob)(emb, deterministic=deterministic)
         return emb.astype(cfg.dtype)
 
@@ -288,9 +340,16 @@ class BertSelfAttention(nn.Module):
             prefer_packed = (cfg.fused_packed_layout
                              and q_len <= cfg.fused_packed_max_seq)
             if use_fused_mesh and prefer_packed:
-                return fused_attention_mesh_packed(
+                out = fused_attention_mesh_packed(
                     q, k, v, bias[:, 0, 0, :], h, seed, rate,
                     mesh=cfg.attention_mesh).astype(cfg.dtype)
+                if cfg.sp_mesh is not None:
+                    # Same token-sharded placement the unpacked paths pin
+                    # below — without it the packed (B, S, H*D) output stays
+                    # column-sharded and GSPMD infers the all-to-all.
+                    out = sp_constrain(out, cfg,
+                                       PartitionSpec("dp", "sp", None))
+                return out
             elif use_fused_mesh:
                 ctx = fused_attention_mesh(split(q), split(k), split(v),
                                            bias[:, 0, 0, :], seed, rate,
@@ -298,9 +357,13 @@ class BertSelfAttention(nn.Module):
             elif prefer_packed:
                 # Packed path: q/k/v/out stay (B, S, H*D) — no transpose
                 # copies around the custom call (see the config flag).
-                return fused_attention_packed(
+                out = fused_attention_packed(
                     q, k, v, bias[:, 0, 0, :], h, seed, rate
                 ).astype(cfg.dtype)
+                if cfg.sp_mesh is not None:
+                    out = sp_constrain(out, cfg,
+                                       PartitionSpec("dp", "sp", None))
+                return out
             else:
                 ctx = fused_attention(split(q), split(k), split(v),
                                       bias[:, 0, 0, :], seed, rate)
@@ -356,14 +419,14 @@ class BertLayer(nn.Module):
             hidden, bias, history_state, deterministic)
         attn = _dense(cfg.hidden_size, cfg, name="attention_output")(attn)
         attn = nn.Dropout(cfg.hidden_dropout_prob)(attn, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                              name="attention_layer_norm")(attn + hidden).astype(cfg.dtype)
+        hidden = FusedResidualLayerNorm(
+            cfg, name="attention_layer_norm")(attn, hidden).astype(cfg.dtype)
         inter = _dense(cfg.intermediate_size, cfg, name="intermediate")(hidden)
         inter = nn.gelu(inter, approximate=False)
         out = _dense(cfg.hidden_size, cfg, name="output")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                              name="output_layer_norm")(out + hidden).astype(cfg.dtype)
+        hidden = FusedResidualLayerNorm(
+            cfg, name="output_layer_norm")(out, hidden).astype(cfg.dtype)
         return sp_constrain(hidden, cfg, PartitionSpec("dp", "sp", None))
 
 

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec
 
-from visitron_tpu.models.bert import (BertConfig, VisitronBert, _dense,
-                                      sp_constrain)
+from visitron_tpu.models.bert import (BertConfig, FusedResidualLayerNorm,
+                                      VisitronBert, _dense, sp_constrain)
 
 
 def masked_cross_entropy(logits, labels, ignore_id: int = -1):
@@ -49,8 +49,10 @@ class PretrainModel(nn.Module):
         cfg = self.cfg
         self.bert = VisitronBert(cfg, name="bert")
         self.mlm_transform = _dense(cfg.hidden_size, cfg, name="mlm_transform")
-        self.mlm_layer_norm = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="mlm_layer_norm")
+        # Same {scale, bias} tree as nn.LayerNorm; routes to the one-pass
+        # Pallas kernel on TPU (ops/layernorm.py), exact flax math otherwise.
+        self.mlm_layer_norm = FusedResidualLayerNorm(
+            cfg, name="mlm_layer_norm")
         self.next_action = _dense(cfg.action_space, cfg, name="next_action")
         self.token_head = _dense(cfg.detector_classes, cfg, name="token_head")
         self.mlm_bias = self.param(
