@@ -43,7 +43,8 @@ def _batch(rng, vocab, img_dim, batch):
 
 
 def run(batch: int, use_flash: bool = False, remat: bool = False,
-        use_fused: bool = True, bf16_adam: bool = False) -> dict:
+        use_fused: bool = True, bf16_adam: bool = False,
+        fused_ln: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +56,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
     cfg = BertConfig(vocab_size=30525, max_position_embeddings=768,
                      type_vocab_size=4, dtype=jnp.bfloat16,
                      use_flash_attention=use_flash, remat=remat,
-                     use_fused_attention=use_fused)
+                     use_fused_attention=use_fused,
+                     use_fused_layernorm=fused_ln)
     trainer = PretrainTrainer(cfg, total_steps=100, bf16_adam_moments=bf16_adam)
     rng = np.random.default_rng(0)
     batches = [_batch(rng, cfg.vocab_size, cfg.img_feature_dim, batch)
@@ -87,7 +89,7 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
                           max(jax.local_device_count(), 1), 2),
            "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
            "fused": use_fused, "remat": remat, "bf16_adam": bf16_adam,
-           "ms_per_step": round(ms, 2)}
+           "fused_ln": fused_ln, "ms_per_step": round(ms, 2)}
     def _flops(step_fn) -> float:
         cost = step_fn.lower(state, jb[0]).compile().cost_analysis()
         if isinstance(cost, list):
@@ -112,7 +114,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
             import dataclasses
 
             ctrl_cfg = dataclasses.replace(cfg, use_flash_attention=False,
-                                           use_fused_attention=False)
+                                           use_fused_attention=False,
+                                           use_fused_layernorm=False)
             ctrl = PretrainTrainer(ctrl_cfg, total_steps=100,
                                    bf16_adam_moments=bf16_adam).raw_step_fn()
             true_flops = _flops(ctrl)

@@ -128,6 +128,9 @@ class RunConfig:
     use_bfloat16: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention (TPU)
     use_fused_attention: bool = True   # Pallas small-S single-pass kernel (TPU)
+    use_fused_layernorm: bool = True   # Pallas one-pass add+LayerNorm (TPU;
+                                       # auto-falls back off-TPU/mesh/odd
+                                       # shapes — ops/layernorm.py)
     remat: bool = False                # rematerialize BERT layers in bwd
                                        # (activation memory ~ O(layers) less;
                                        # enables batch scaling beyond HBM)

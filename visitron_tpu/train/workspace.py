@@ -109,5 +109,6 @@ class Workspace:
             dtype=jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32,
             use_flash_attention=cfg.use_flash_attention,
             use_fused_attention=cfg.use_fused_attention,
+            use_fused_layernorm=cfg.use_fused_layernorm,
             remat=cfg.remat,
         )
