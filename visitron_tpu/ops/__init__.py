@@ -1,4 +1,9 @@
 from visitron_tpu.ops.attention import multi_head_attention
+from visitron_tpu.ops.layernorm import (fused_add_layernorm,
+                                        layernorm_reference,
+                                        layernorm_supports)
 from visitron_tpu.ops.masking import length2mask, make_attention_bias
 
-__all__ = ["multi_head_attention", "length2mask", "make_attention_bias"]
+__all__ = ["multi_head_attention", "length2mask", "make_attention_bias",
+           "fused_add_layernorm", "layernorm_reference",
+           "layernorm_supports"]
