@@ -34,7 +34,10 @@ from visitron_tpu.ops.attention import (attention_supports_flash,
                                         fused_attention_mesh_packed,
                                         fused_attention_packed,
                                         multi_head_attention, ring_attention)
-from visitron_tpu.ops.layernorm import fused_add_layernorm, layernorm_supports
+from visitron_tpu.ops.layernorm import (fused_add_layernorm,
+                                        fused_add_layernorm_mesh,
+                                        layernorm_supports,
+                                        layernorm_supports_mesh)
 from visitron_tpu.ops.masking import make_attention_bias
 
 
@@ -221,12 +224,18 @@ class FusedResidualLayerNorm(nn.Module):
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        no_mesh = (cfg.attention_mesh is None and cfg.sp_mesh is None
-                   and cfg.cp_mesh is None)
-        if (cfg.use_fused_layernorm and no_mesh
-                and layernorm_supports(rows, hidden)):
+        mesh = next((m for m in (cfg.sp_mesh, cfg.cp_mesh,
+                                 cfg.attention_mesh) if m is not None), None)
+        if cfg.use_fused_layernorm and mesh is None \
+                and layernorm_supports(rows, hidden):
             return fused_add_layernorm(x, residual, scale, bias,
                                        cfg.layer_norm_eps)
+        if (cfg.use_fused_layernorm and mesh is not None and x.ndim == 3
+                and layernorm_supports_mesh(mesh, x.shape[:2], hidden)):
+            # Per-shard kernels via shard_map (replicated-param grads
+            # accumulated outside the mesh region — ops/layernorm.py).
+            return fused_add_layernorm_mesh(x, residual, scale, bias,
+                                            cfg.layer_norm_eps, mesh=mesh)
         # Exact flax semantics, including the residual add in the INPUT
         # dtype (the previous call sites wrote ``ln(attn + hidden)`` — the
         # sum rounds to bf16 before promotion, and goldens pin that).

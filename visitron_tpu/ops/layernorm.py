@@ -246,3 +246,132 @@ def fused_add_layernorm(x, residual, gamma, beta, eps: float = 1e-12,
     gate; output dtype is ``x.dtype`` (the fp32->bf16 cast is fused).
     ``interpret`` runs the kernels in Pallas interpret mode (CPU tests)."""
     return _fused_add_layernorm(x, residual, gamma, beta, eps, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Mesh twin: the same kernels under a device mesh via shard_map.
+#
+# GSPMD cannot partition Mosaic custom calls, but LayerNorm is row-
+# independent: each device runs the ordinary kernel on its (B/dp, S/sp, H)
+# shard.  gamma/beta are REPLICATED inputs, and shard_map transposition of
+# replicated operands is exactly the footgun the attention wrappers never
+# hit (their operands are all sharded) — so the mesh path carries its own
+# custom_vjp OUTSIDE shard_map: the backward shard_map returns each shard's
+# (1, H) dgamma/dbeta partial through an out_spec that stacks shards on the
+# leading axis, and the (n_shards, H) stack is summed OUTSIDE the mesh
+# region — no reliance on transpose-inserted psums, no manual collective.
+# ---------------------------------------------------------------------------
+
+def _mesh_row_axes(mesh):
+    """(batch_axis_names, token_axis_names) actually present in the mesh."""
+    names = getattr(mesh, "axis_names", ())
+    baxes = tuple(a for a in ("dp",) if a in names)
+    taxes = tuple(a for a in ("sp", "cp") if a in names)
+    return baxes, taxes
+
+
+def layernorm_supports_mesh(mesh, rows_shape, hidden: int) -> bool:
+    """Gate: per-shard rows must tile (B and S divide their mesh axes).
+
+    Excludes pipeline meshes: under (dp, pp) the transformer layers execute
+    INSIDE the GPipe shard_map region (parallel/pipeline.py) and a nested
+    shard_map is not supported; those configs keep the flax LN.  Requires a
+    dp axis — every supported mesh in this framework shards batch over dp,
+    and without it the stacked-partials out_spec would be ambiguous."""
+    if mesh is None or jax.default_backend() != "tpu":
+        return False
+    names = getattr(mesh, "axis_names", ())
+    if "pp" in names or "dp" not in names:
+        return False
+    if any(a not in ("dp", "tp", "sp", "cp") for a in names):
+        return False
+    if hidden % 128 != 0 or hidden > 4096:
+        return False
+    baxes, taxes = _mesh_row_axes(mesh)
+    b, s = rows_shape
+    bdiv = 1
+    for a in baxes:
+        bdiv *= mesh.shape[a]
+    tdiv = 1
+    for a in taxes:
+        tdiv *= mesh.shape[a]
+    if b % bdiv or s % tdiv:
+        return False
+    return _pick_block_rows((b // bdiv) * (s // tdiv)) > 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_ln_mesh(x, residual, gamma, beta, eps, mesh, interpret):
+    y, _ = _fused_ln_mesh_fwd(x, residual, gamma, beta, eps, mesh, interpret)
+    return y
+
+
+def _mesh_specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    baxes, taxes = _mesh_row_axes(mesh)
+    row = P(baxes if baxes else None, taxes if taxes else None, None)
+    allax = tuple(baxes) + tuple(taxes)
+    part = P(allax if allax else None, None)
+    return row, part
+
+
+def _fused_ln_mesh_fwd(x, residual, gamma, beta, eps, mesh, interpret):
+    from jax.sharding import PartitionSpec as P
+
+    has_res = residual is not None
+    g2 = gamma.astype(jnp.float32).reshape(1, -1)
+    b2 = beta.astype(jnp.float32).reshape(1, -1)
+    row_spec, _ = _mesh_specs(mesh)
+    hidden = x.shape[-1]
+
+    def body(x, res, g2, b2):
+        rows = x.shape[0] * x.shape[1]
+        y2 = _call_fwd(x.reshape(rows, hidden),
+                       res.reshape(rows, hidden) if has_res else None,
+                       g2, b2, float(eps), has_res, interpret)
+        return y2.reshape(x.shape)
+
+    args = (x, residual if has_res else x, g2, b2)
+    y = jax.shard_map(body, mesh=mesh,
+                      in_specs=(row_spec, row_spec, P(), P()),
+                      out_specs=row_spec, check_vma=False)(*args)
+    return y, (x, residual, g2)
+
+
+def _fused_ln_mesh_bwd(eps, mesh, interpret, resids, dy):
+    from jax.sharding import PartitionSpec as P
+
+    x, residual, g2 = resids
+    has_res = residual is not None
+    row_spec, part_spec = _mesh_specs(mesh)
+    hidden = x.shape[-1]
+
+    def body(dy, x, res, g2):
+        rows = x.shape[0] * x.shape[1]
+        dh2, dg, db = _call_bwd(dy.reshape(rows, hidden),
+                                x.reshape(rows, hidden),
+                                res.reshape(rows, hidden) if has_res else None,
+                                g2, float(eps), interpret)
+        return dh2.reshape(x.shape), dg[None], db[None]
+
+    dh, dgp, dbp = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec, P()),
+        out_specs=(row_spec, part_spec, part_spec),
+        check_vma=False)(dy, x, residual if has_res else x, g2)
+    dg = jnp.sum(dgp, axis=0)
+    db = jnp.sum(dbp, axis=0)
+    return (dh, dh if has_res else None, dg, db)
+
+
+_fused_ln_mesh.defvjp(_fused_ln_mesh_fwd, _fused_ln_mesh_bwd)
+
+
+def fused_add_layernorm_mesh(x, residual, gamma, beta, eps: float = 1e-12,
+                             *, mesh, interpret: bool = False):
+    """``LayerNorm(x + residual)`` on a device mesh: per-shard Pallas
+    kernels via shard_map, replicated-param grads summed outside the mesh
+    region (see module comment).  Gate with
+    :func:`layernorm_supports_mesh`; output dtype is ``x.dtype``."""
+    return _fused_ln_mesh(x, residual, gamma, beta, eps, mesh, interpret)
