@@ -44,7 +44,7 @@ def _batch(rng, vocab, img_dim, batch):
 
 def run(batch: int, use_flash: bool = False, remat: bool = False,
         use_fused: bool = True, bf16_adam: bool = False,
-        fused_ln: bool = True) -> dict:
+        fused_ln: bool = True, fused_ce: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
                      type_vocab_size=4, dtype=jnp.bfloat16,
                      use_flash_attention=use_flash, remat=remat,
                      use_fused_attention=use_fused,
-                     use_fused_layernorm=fused_ln)
+                     use_fused_layernorm=fused_ln,
+                     use_fused_mlm_ce=fused_ce)
     trainer = PretrainTrainer(cfg, total_steps=100, bf16_adam_moments=bf16_adam)
     rng = np.random.default_rng(0)
     batches = [_batch(rng, cfg.vocab_size, cfg.img_feature_dim, batch)
@@ -89,7 +90,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
                           max(jax.local_device_count(), 1), 2),
            "unit": "examples/s/chip", "batch": batch, "flash": use_flash,
            "fused": use_fused, "remat": remat, "bf16_adam": bf16_adam,
-           "fused_ln": fused_ln, "ms_per_step": round(ms, 2)}
+           "fused_ln": fused_ln, "fused_ce": fused_ce,
+           "ms_per_step": round(ms, 2)}
     def _flops(step_fn) -> float:
         cost = step_fn.lower(state, jb[0]).compile().cost_analysis()
         if isinstance(cost, list):
@@ -115,7 +117,8 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
 
             ctrl_cfg = dataclasses.replace(cfg, use_flash_attention=False,
                                            use_fused_attention=False,
-                                           use_fused_layernorm=False)
+                                           use_fused_layernorm=False,
+                                           use_fused_mlm_ce=False)
             ctrl = PretrainTrainer(ctrl_cfg, total_steps=100,
                                    bf16_adam_moments=bf16_adam).raw_step_fn()
             true_flops = _flops(ctrl)
@@ -126,6 +129,13 @@ def run(batch: int, use_flash: bool = False, remat: bool = False,
                 out["step_tflops"] = round(true_flops / 1e12, 2)
         except Exception:
             pass
+    if out.get("mfu", 0) > 1.0:
+        # Physically impossible: the timing window collapsed in a way the
+        # ms >= 1 guard cannot catch (seen: a "32.77 ms" batch-24 step, MFU
+        # 2.34, in a chaotic relay regime).  Refuse rather than publish.
+        raise RuntimeError(
+            f"measured MFU {out['mfu']} > 1 is physically impossible — "
+            f"relay timing window invalid (ms_per_step={ms:.2f}); rerun")
     return out
 
 

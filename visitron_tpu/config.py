@@ -131,6 +131,9 @@ class RunConfig:
     use_fused_layernorm: bool = True   # Pallas one-pass add+LayerNorm (TPU;
                                        # auto-falls back off-TPU/mesh/odd
                                        # shapes — ops/layernorm.py)
+    use_fused_mlm_ce: bool = True      # Pallas chunked-logsumexp MLM CE:
+                                       # no (B, S, vocab) fp32 tensor
+                                       # (ops/crossentropy.py; same gates)
     remat: bool = False                # rematerialize BERT layers in bwd
                                        # (activation memory ~ O(layers) less;
                                        # enables batch scaling beyond HBM)

@@ -83,6 +83,12 @@ class BertConfig:
     # ~-2.4%, so larger shapes keep the unpacked kernel.  A config field so
     # benchmarks can probe the boundary without monkeypatching.
     fused_packed_max_seq: int = 512
+    # Fused masked softmax-CE for the MLM head (ops/crossentropy.py):
+    # chunked online-logsumexp over the vocabulary, per-row CE + lse only —
+    # no (B, S, vocab) fp32 tensor is ever materialized (the logits stay in
+    # the compute dtype).  Auto-gated: off-TPU, under any mesh, and for
+    # small vocabularies the jnp path runs.
+    use_fused_mlm_ce: bool = True
     # One-pass Pallas residual-add+LayerNorm (ops/layernorm.py): collapses
     # XLA's stats/apply forward passes and param-grad/dx backward passes —
     # the %convert_reduce_fusion + LN share of %multiply_reduce_fusion in

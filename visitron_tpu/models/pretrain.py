@@ -22,6 +22,7 @@ from jax.sharding import PartitionSpec
 
 from visitron_tpu.models.bert import (BertConfig, FusedResidualLayerNorm,
                                       VisitronBert, _dense, sp_constrain)
+from visitron_tpu.ops.crossentropy import ce_supports, fused_masked_softmax_ce
 
 
 def masked_cross_entropy(logits, labels, ignore_id: int = -1):
@@ -89,7 +90,15 @@ class PretrainModel(nn.Module):
         x = self.mlm_transform(seq)
         x = nn.gelu(x, approximate=False)
         x = self.mlm_layer_norm(x)
-        mlm_logits = self.bert.attend_vocab(x).astype(jnp.float32) + self.mlm_bias
+        if _no_mesh(self.cfg) and self.cfg.use_fused_mlm_ce:
+            # Fused-CE path: keep the (B, S, vocab) logits in the compute
+            # dtype (the f32 bias add is a fused elementwise epilogue; no
+            # fp32 copy of the largest tensor in the program hits HBM).
+            mlm_logits = (self.bert.attend_vocab(x)
+                          + self.mlm_bias).astype(self.cfg.dtype)
+        else:
+            mlm_logits = (self.bert.attend_vocab(x).astype(jnp.float32)
+                          + self.mlm_bias)
         action_logits = self.next_action(pooled).astype(jnp.float32)
         token_logits = self.token_head(seq).astype(jnp.float32)
         # Sequence parallelism: keep the (B, S, vocab) logits — the largest
@@ -108,7 +117,13 @@ class PretrainModel(nn.Module):
         }
 
 
-def pretrain_loss(outputs, labels, next_action=None, token_labels=None):
+def _no_mesh(cfg) -> bool:
+    return (cfg.attention_mesh is None and cfg.sp_mesh is None
+            and cfg.cp_mesh is None)
+
+
+def pretrain_loss(outputs, labels, next_action=None, token_labels=None,
+                  cfg: BertConfig | None = None):
     """Loss/metric bundle parity (encoder.py:379-441): returns a dict with
     loss, mask/next/token losses and word/action/token accuracies.
 
@@ -120,7 +135,18 @@ def pretrain_loss(outputs, labels, next_action=None, token_labels=None):
     logits; argmax/accuracy are unaffected, the loss is the standard one."""
     mlm_logits = outputs["mlm_logits"]
     seq_len = mlm_logits.shape[1]
-    mask_loss, _ = masked_cross_entropy(mlm_logits, labels[:, :seq_len])
+    rows = mlm_logits.shape[0] * seq_len
+    vocab = mlm_logits.shape[-1]
+    if (cfg is not None and cfg.use_fused_mlm_ce and _no_mesh(cfg)
+            and ce_supports(rows, vocab)):
+        # Pallas chunked-logsumexp CE (ops/crossentropy.py) — identical
+        # masking semantics, per-row CE meaned here over valid labels.
+        flat_labels = labels[:, :seq_len].reshape(-1)
+        ce = fused_masked_softmax_ce(mlm_logits.reshape(rows, vocab),
+                                     flat_labels)
+        mask_loss = ce.sum() / jnp.maximum(jnp.sum(flat_labels != -1), 1)
+    else:
+        mask_loss, _ = masked_cross_entropy(mlm_logits, labels[:, :seq_len])
     loss = mask_loss
     out = {"mask_loss": mask_loss,
            "words_accuracy": masked_accuracy(mlm_logits, labels[:, :seq_len])}

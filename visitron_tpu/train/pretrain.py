@@ -118,7 +118,7 @@ class PretrainTrainer:
             rngs=None if deterministic else {"dropout": dropout_rng},
         )
         bundle = pretrain_loss(out, batch["labels"], batch["next_action"],
-                               batch["token_labels"])
+                               batch["token_labels"], cfg=self.cfg)
         return bundle["loss"], bundle
 
     def raw_step_fn(self):

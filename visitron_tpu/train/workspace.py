@@ -110,5 +110,6 @@ class Workspace:
             use_flash_attention=cfg.use_flash_attention,
             use_fused_attention=cfg.use_fused_attention,
             use_fused_layernorm=cfg.use_fused_layernorm,
+            use_fused_mlm_ce=cfg.use_fused_mlm_ce,
             remat=cfg.remat,
         )
